@@ -1,0 +1,89 @@
+"""File-format compatibility layer.
+
+Preserves the reference's on-disk contracts so a user of the reference can
+point this framework at the same data files:
+
+* ``Pilots.dat``              -- 1023 raw complex64, fftshift-ed on load
+                                 (cpuLS.hpp:80-117)
+* ``Output_cpu.dat``          -- demodulated symbols appended as raw complex64
+                                 (cpuLS.hpp:374-380)
+* ``PNSeq_255_MaxLenSeq.dat`` -- 255-chip PN sequence, raw complex64
+                                 (rx_and_corr.cpp:227-235)
+* ``time_{cpu,gpu}.dat``      -- 5 float32 phase-timing words
+                                 (storeTimes, ShMemSymBuff.hpp:166-189)
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional
+
+import numpy as np
+
+from .dsp import PILOT_FILL, pilot_shift
+
+
+def load_pilot(path: Optional[str], n: int = 1023) -> np.ndarray:
+    """Load the known pilot sequence, applying the reference's load-time shift.
+
+    Mirrors ``matrix_readX`` (cpuLS.hpp:80-117): raw complex64 read, then
+    fftshift; if the file is missing, fill with 0.707+0.707i (the CPU
+    fallback, cpuLS.hpp:84-90) -- note the fallback is NOT shifted in the
+    reference either (it returns before the memmove swap), and a constant is
+    shift-invariant anyway.
+    """
+    if path is None or not os.path.exists(path):
+        return np.full(n, PILOT_FILL, dtype=np.complex64)
+    raw = np.fromfile(path, dtype=np.complex64, count=n)
+    if raw.size < n:
+        raise ValueError(f"pilot file {path!r} holds {raw.size} < {n} samples")
+    return pilot_shift(raw).astype(np.complex64)
+
+
+def write_pilot(path: str, pilot_unshifted: np.ndarray) -> None:
+    """Write a pilot file in the reference layout (pre-shift order)."""
+    np.asarray(pilot_unshifted, dtype=np.complex64).tofile(path)
+
+
+def append_output(path: str, symbols: np.ndarray, truncate: bool = False) -> None:
+    """Append demodulated symbols as raw complex64 (cpuLS.hpp:374-380).
+
+    The reference truncates on the first data symbol (``it <= 1``) and
+    appends afterwards; callers pass ``truncate=True`` for the first write.
+    """
+    mode = "wb" if truncate else "ab"
+    with open(path, mode) as f:
+        np.asarray(symbols, dtype=np.complex64).tofile(f)
+
+
+def read_output(path: str, subcarriers: int = 1023) -> np.ndarray:
+    """Read an Output_*.dat file back as [num_symbols, subcarriers]."""
+    raw = np.fromfile(path, dtype=np.complex64)
+    if raw.size % subcarriers:
+        raise ValueError(f"{path!r}: {raw.size} samples not a multiple of {subcarriers}")
+    return raw.reshape(-1, subcarriers)
+
+
+def load_pn_sequence(path: Optional[str]) -> np.ndarray:
+    """Load the PN frame-sync sequence (rx_and_corr.cpp:227-235).
+
+    Falls back to a generated 255-chip maximal-length sequence when the file
+    is absent (the reference ships the file out-of-repo).
+    """
+    if path is not None and os.path.exists(path):
+        return np.fromfile(path, dtype=np.complex64)
+    from ..sim.pn import max_len_sequence
+
+    return max_len_sequence(255).astype(np.complex64)
+
+
+def store_times(path: str, read_avg: float, chanest: float, decode_avg: float,
+                fft_avg: float, drop_avg: float) -> None:
+    """Binary 5-word timing dump, layout-compatible with storeTimes
+    (ShMemSymBuff.hpp:166-189): [read, chanest, decode, fft, drop] float32."""
+    np.array([read_avg, chanest, decode_avg, fft_avg, drop_avg],
+             dtype=np.float32).tofile(path)
+
+
+def load_times(path: str) -> np.ndarray:
+    return np.fromfile(path, dtype=np.float32, count=5)

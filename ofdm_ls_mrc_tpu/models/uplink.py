@@ -1,0 +1,133 @@
+"""Uplink receiver: the flagship frame pipeline.
+
+The reference's five GPU strategies (per-symbol ``demodOneSymbol``,
+whole-frame ``demodOneFrame``/``demodOneFrameCUDA``, occupancy-tuned
+``demodOptimized``, and ``demodCuBlas`` -- gpuLS.cu:410-858) collapse on TPU
+into ONE jitted pure function over a planar ``[symbols, antennas, fft]``
+tensor: XLA fuses the CP-drop, MXU FFT, LS divide, conjugate, MRC
+multiply-reduce and normalize into a single program with no per-symbol plans,
+allocs, or syncs (the reference re-creates a cuFFT plan and cudaMallocs per
+symbol, gpuLS.cu:441-452 -- the anti-pattern this design removes).
+
+All device math is planar (re, im) float32: this TPU backend has no complex
+dtype, and planar is the native layout for MXU/VPU work (see ops/cplx.py).
+
+A per-symbol streaming mode (models/streaming.py) covers the low-latency path.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import FrameConfig
+from ..ops import fft as fft_ops
+from ..ops import ls as ls_ops
+from ..ops import mrc as mrc_ops
+from ..ops.cplx import CArray
+from ..ops.modulate import drop_cyclic_prefix
+
+FrameLike = Union[np.ndarray, CArray]
+
+
+def _as_carray(x: FrameLike) -> CArray:
+    return x if isinstance(x, CArray) else CArray.from_numpy(x)
+
+
+def demod_frame_fn(frame: CArray, x_full: CArray, *, cp: int,
+                   fft_impl: str) -> CArray:
+    """Whole-frame demod: symbol 0 is the pilot, the rest are data.
+
+    Args:
+      frame:  [S, A, F+cp] planar time-domain frame.
+      x_full: [F] planar padded pilot (ls.pad_pilot output).
+
+    Returns:
+      [S-1, F-1] planar demodulated data (reference output layout).
+    """
+    fft = fft_ops.get_fft(fft_impl)
+    y = drop_cyclic_prefix(frame, cp)
+    yf = fft(y)                                     # [S, A, F]
+    hconj, hsqrd = ls_ops.estimate_channel_full(yf[0], x_full)
+    eq = mrc_ops.mrc_combine(yf[1:], hconj, hsqrd)  # [S-1, F]
+    return mrc_ops.finalize(eq)
+
+
+def estimate_fn(pilot_sym: CArray, x_full: CArray, *, cp: int, fft_impl: str):
+    fft = fft_ops.get_fft(fft_impl)
+    y = drop_cyclic_prefix(pilot_sym, cp)
+    return ls_ops.estimate_channel_full(fft(y), x_full)
+
+
+def demod_data_fn(data: CArray, hconj: CArray, hsqrd: jnp.ndarray,
+                  *, cp: int, fft_impl: str) -> CArray:
+    """Demod pre-estimated data symbols: [S, A, F+cp] -> [S, F-1]."""
+    fft = fft_ops.get_fft(fft_impl)
+    y = drop_cyclic_prefix(data, cp)
+    eq = mrc_ops.mrc_combine(fft(y), hconj, hsqrd)
+    return mrc_ops.finalize(eq)
+
+
+class UplinkReceiver:
+    """LS + MRC uplink receiver for one antenna-array stream.
+
+    Usage:
+      rx = UplinkReceiver(cfg, pilot_x)
+      out = rx.demod_frame(frame)            # complex64 [S-1, F-1]
+      h = rx.estimate_channel(frame[0])      # split-phase variant
+      out = rx.demod_data(frame[1:], *h)
+
+    Inputs may be host complex64 arrays or device-resident planar CArrays;
+    outputs are CArrays (call ``.to_numpy()`` for host complex64).
+    """
+
+    def __init__(self, cfg: FrameConfig, pilot_x: np.ndarray,
+                 fft_impl: Optional[str] = None, donate: bool = False):
+        cfg.validate()
+        if pilot_x.shape[-1] != cfg.num_subcarriers:
+            raise ValueError(
+                f"pilot has {pilot_x.shape[-1]} bins, config wants {cfg.num_subcarriers}")
+        self.cfg = cfg
+        self.fft_impl = fft_impl or fft_ops.default_impl()
+        self.x_full = ls_ops.pad_pilot(pilot_x)
+
+        # Donation is off by default: every output here is strictly smaller
+        # than its inputs ([S-1, F-1] vs [S, A, F+cp]) so XLA can never reuse
+        # a donated buffer -- it only emits warnings.
+        kw = dict(cp=cfg.cyclic_prefix, fft_impl=self.fft_impl)
+        donate_args = (0,) if donate else ()
+        self._demod_frame = jax.jit(
+            functools.partial(demod_frame_fn, **kw), donate_argnums=donate_args)
+        self._estimate = jax.jit(functools.partial(estimate_fn, **kw))
+        self._demod_data = jax.jit(
+            functools.partial(demod_data_fn, **kw), donate_argnums=donate_args)
+
+    # -- whole-frame path (analog of demodOptimized, gpuLS.cu:677-769) ------
+    def demod_frame(self, frame: FrameLike) -> CArray:
+        """[S, A, F+cp] -> [S-1, F-1] demodulated data symbols."""
+        return self._demod_frame(_as_carray(frame), self.x_full)
+
+    # -- split-phase path (analog of firstVector + demodOneSymbol) ----------
+    def estimate_channel(self, pilot_sym: FrameLike) -> Tuple[CArray, jax.Array]:
+        """[A, F+cp] pilot -> (hconj [A, F], hsqrd [F]) on the full grid."""
+        return self._estimate(_as_carray(pilot_sym), self.x_full)
+
+    def demod_data(self, data: FrameLike, hconj: CArray, hsqrd) -> CArray:
+        """[S, A, F+cp] data + estimates -> [S, F-1]."""
+        return self._demod_data(_as_carray(data), hconj, hsqrd)
+
+    # -- compile ahead of time ----------------------------------------------
+    def warmup(self) -> None:
+        """Compile both paths on zeros (the reference 'warm-up' FFT,
+        gpuLS_main.cu:94-97, done properly: once, cached thereafter)."""
+        s, a = self.cfg.frame_len, self.cfg.num_antennas
+        n = self.cfg.symbol_len
+        frame = np.ones((s, a, n), np.complex64)
+        jax.block_until_ready(self.demod_frame(frame).re)
+        h = self.estimate_channel(np.ones((a, n), np.complex64))
+        jax.block_until_ready(
+            self.demod_data(np.ones((s - 1, a, n), np.complex64), *h).re)

@@ -1,0 +1,101 @@
+"""End-to-end pipeline tests: UplinkReceiver / DownlinkTransmitter vs golden."""
+
+import jax
+import numpy as np
+import pytest
+
+from ofdm_ls_mrc_tpu import FrameConfig
+from ofdm_ls_mrc_tpu.golden import dsp
+from ofdm_ls_mrc_tpu.models import DownlinkTransmitter, UplinkReceiver
+from ofdm_ls_mrc_tpu.sim import ChannelModel, evm_db, make_tx_frame, random_symbols
+
+
+def crandn(rng, shape):
+    return (rng.standard_normal(shape) + 1j * rng.standard_normal(shape)
+            ).astype(np.complex64)
+
+
+@pytest.fixture
+def small_cfg():
+    return FrameConfig(num_antennas=4, fft_size=64, cyclic_prefix=8, frame_len=9)
+
+
+class TestUplinkReceiver:
+    @pytest.mark.parametrize("fft_impl", ["xla", "matmul", "four_step"])
+    def test_matches_golden(self, rng, small_cfg, fft_impl):
+        cfg = small_cfg
+        pilot = np.exp(2j * np.pi * rng.random(cfg.num_subcarriers)).astype(np.complex64)
+        frame = crandn(rng, (cfg.frame_len, cfg.num_antennas, cfg.symbol_len))
+
+        want = dsp.demod_frame(frame, pilot, cfg.cyclic_prefix)
+        rx = UplinkReceiver(cfg, pilot, fft_impl=fft_impl, donate=False)
+        got = rx.demod_frame(frame).to_numpy()
+        np.testing.assert_allclose(got, want, rtol=2e-3, atol=2e-3)
+
+    def test_split_phase_matches_whole_frame(self, rng, small_cfg):
+        cfg = small_cfg
+        pilot = np.exp(2j * np.pi * rng.random(cfg.num_subcarriers)).astype(np.complex64)
+        frame = crandn(rng, (cfg.frame_len, cfg.num_antennas, cfg.symbol_len))
+        rx = UplinkReceiver(cfg, pilot, donate=False)
+        whole = rx.demod_frame(frame).to_numpy()
+        h = rx.estimate_channel(frame[0])
+        split = rx.demod_data(frame[1:], *h).to_numpy()
+        np.testing.assert_allclose(whole, split, atol=1e-5)
+
+    def test_loopback_evm_through_channel(self, rng, small_cfg):
+        cfg = small_cfg
+        data, _ = random_symbols(rng, (cfg.num_data_symbols, cfg.num_subcarriers), "qpsk")
+        pilot = np.exp(2j * np.pi * rng.random(cfg.num_subcarriers)).astype(np.complex64)
+        tx = make_tx_frame(data, pilot, cfg.cyclic_prefix)
+        chan = ChannelModel(cfg.num_antennas, cfg.fft_size, num_taps=4,
+                            snr_db=35.0, seed=3)
+        rx_frame = chan.apply(tx, cfg.cyclic_prefix)
+        rx = UplinkReceiver(cfg, pilot, donate=False)
+        out = np.fft.fftshift(rx.demod_frame(rx_frame).to_numpy(), axes=-1)
+        assert evm_db(out, data) < -25.0
+
+    def test_reference_default_geometry(self, rng):
+        """16 ant x 1024 FFT x 101 symbols -- the reference's GPU config."""
+        cfg = FrameConfig()
+        pilot = np.exp(2j * np.pi * rng.random(cfg.num_subcarriers)).astype(np.complex64)
+        frame = crandn(rng, (cfg.frame_len, cfg.num_antennas, cfg.symbol_len))
+        rx = UplinkReceiver(cfg, pilot, donate=False)
+        got = rx.demod_frame(frame).to_numpy()
+        assert got.shape == (100, 1023)
+        want = dsp.demod_frame(frame, pilot, cfg.cyclic_prefix)
+        # Spot-check a slice (full-frame allclose is covered at small size).
+        np.testing.assert_allclose(got[::25], want[::25], rtol=3e-3, atol=3e-3)
+
+
+class TestDownlinkTransmitter:
+    def test_zf_then_uplink_channel(self, rng, small_cfg):
+        """Precode for a known channel; each user's stream arrives clean."""
+        cfg = small_cfg
+        s, u, a = cfg.num_subcarriers, cfg.num_users, cfg.num_antennas
+        h = crandn(rng, (s, u, a))
+        x = crandn(rng, (u, s))
+        tx = DownlinkTransmitter(cfg)
+        ant = tx.precode(h, x).to_numpy()
+        rx = np.einsum("sua,as->us", h, ant)
+        np.testing.assert_allclose(rx, x, atol=1e-3)
+
+    def test_modulate_matches_golden(self, rng, small_cfg):
+        cfg = small_cfg
+        data = crandn(rng, (cfg.num_antennas, cfg.num_subcarriers))
+        tx = DownlinkTransmitter(cfg)
+        got = tx.modulate(data).to_numpy()
+        want = dsp.modulate_symbol(data, cp=cfg.cyclic_prefix)
+        np.testing.assert_allclose(got, want, atol=1e-4)
+
+    def test_modulate_frame_closes_loop_with_receiver(self, rng, small_cfg):
+        cfg = small_cfg
+        data, _ = random_symbols(rng, (cfg.num_data_symbols, cfg.num_subcarriers), "qpsk")
+        pilot = np.exp(2j * np.pi * rng.random(cfg.num_subcarriers)).astype(np.complex64)
+        tx = DownlinkTransmitter(cfg)
+        frame_1stream = tx.modulate_frame(data, pilot).to_numpy()      # [S, F+cp]
+        chan = ChannelModel(cfg.num_antennas, cfg.fft_size, num_taps=4,
+                            snr_db=300.0, seed=4)
+        rx_frame = chan.apply(frame_1stream, cfg.cyclic_prefix)
+        rx = UplinkReceiver(cfg, pilot, donate=False)
+        out = np.fft.fftshift(rx.demod_frame(rx_frame).to_numpy(), axes=-1)
+        np.testing.assert_allclose(out, data, atol=1e-2)
