@@ -1,0 +1,21 @@
+"""Sharding layer: (ant, time) mesh, psum-based MRC, multi-host helpers."""
+
+from .mesh import (
+    ANT_AXIS,
+    TIME_AXIS,
+    frame_sharding,
+    make_mesh,
+    output_sharding,
+    pilot_sharding,
+)
+from .sharded import ShardedUplinkReceiver
+
+__all__ = [
+    "ANT_AXIS",
+    "TIME_AXIS",
+    "ShardedUplinkReceiver",
+    "frame_sharding",
+    "make_mesh",
+    "output_sharding",
+    "pilot_sharding",
+]

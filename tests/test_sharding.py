@@ -1,0 +1,82 @@
+"""Sharded pipeline tests on the 8-device virtual CPU mesh."""
+
+import jax
+import numpy as np
+import pytest
+
+from ofdm_ls_mrc_tpu import FrameConfig
+from ofdm_ls_mrc_tpu.golden import dsp
+from ofdm_ls_mrc_tpu.parallel import (
+    ShardedUplinkReceiver,
+    frame_sharding,
+    make_mesh,
+)
+
+
+def crandn(rng, shape):
+    return (rng.standard_normal(shape) + 1j * rng.standard_normal(shape)
+            ).astype(np.complex64)
+
+
+@pytest.fixture(scope="module")
+def devices():
+    devs = jax.devices()
+    assert len(devs) >= 8, "conftest must force 8 virtual CPU devices"
+    return devs
+
+
+CFG = FrameConfig(num_antennas=8, fft_size=64, cyclic_prefix=8, frame_len=9)
+
+
+def _golden(frame, pilot):
+    return dsp.demod_frame(frame, pilot, CFG.cyclic_prefix)
+
+
+@pytest.mark.parametrize("ant_shards,time_shards", [(8, 1), (4, 2), (2, 4), (1, 8), (2, 2)])
+def test_sharded_matches_golden(rng, devices, ant_shards, time_shards):
+    pilot = np.exp(2j * np.pi * rng.random(CFG.num_subcarriers)).astype(np.complex64)
+    frame = crandn(rng, (CFG.frame_len, CFG.num_antennas, CFG.symbol_len))
+    mesh = make_mesh(ant_shards, time_shards)
+    rx = ShardedUplinkReceiver(CFG, pilot, mesh, fft_impl="four_step")
+    got = rx.demod_frame(frame).to_numpy()
+    np.testing.assert_allclose(got, _golden(frame, pilot), rtol=3e-3, atol=3e-3)
+
+
+def test_sharded_matches_single_device(rng, devices):
+    from ofdm_ls_mrc_tpu.models import UplinkReceiver
+
+    pilot = np.exp(2j * np.pi * rng.random(CFG.num_subcarriers)).astype(np.complex64)
+    frame = crandn(rng, (CFG.frame_len, CFG.num_antennas, CFG.symbol_len))
+    single = UplinkReceiver(CFG, pilot, fft_impl="four_step").demod_frame(frame).to_numpy()
+    mesh = make_mesh(4, 2)
+    sharded = ShardedUplinkReceiver(CFG, pilot, mesh, fft_impl="four_step")
+    got = sharded.demod_frame(frame).to_numpy()
+    np.testing.assert_allclose(got, single, atol=1e-4)
+
+
+def test_pre_placed_inputs(rng, devices):
+    pilot = np.exp(2j * np.pi * rng.random(CFG.num_subcarriers)).astype(np.complex64)
+    frame = crandn(rng, (CFG.frame_len, CFG.num_antennas, CFG.symbol_len))
+    mesh = make_mesh(4, 2)
+    rx = ShardedUplinkReceiver(CFG, pilot, mesh, fft_impl="four_step")
+    p, d = rx.place(frame)
+    got = rx.demod_pilot_data(p, d).to_numpy()
+    np.testing.assert_allclose(got, _golden(frame, pilot), rtol=3e-3, atol=3e-3)
+
+
+def test_output_sharding_layout(rng, devices):
+    """Output is time-sharded: each row block lives on one time shard."""
+    pilot = np.exp(2j * np.pi * rng.random(CFG.num_subcarriers)).astype(np.complex64)
+    frame = crandn(rng, (CFG.frame_len, CFG.num_antennas, CFG.symbol_len))
+    mesh = make_mesh(2, 4)
+    rx = ShardedUplinkReceiver(CFG, pilot, mesh, fft_impl="four_step")
+    out = rx.demod_frame(frame)
+    spec = out.re.sharding.spec
+    assert spec[0] == "time"
+
+
+def test_indivisible_shards_rejected(rng, devices):
+    pilot = np.exp(2j * np.pi * rng.random(CFG.num_subcarriers)).astype(np.complex64)
+    mesh = make_mesh(3, 1, devices=jax.devices()[:3])
+    with pytest.raises(ValueError, match="not divisible"):
+        ShardedUplinkReceiver(CFG, pilot, mesh)
