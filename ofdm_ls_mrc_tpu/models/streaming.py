@@ -1,0 +1,106 @@
+"""Per-symbol streaming demodulator: the low-latency path.
+
+Mirrors the reference's per-symbol pipeline (firstVector + demodOneSymbol,
+gpuLS.cu:351-473; cpuLS_main.cpp:80-93) without its pathologies (plan/alloc
+per symbol, device sync per stage, gpuLS.cu:441-452): the per-symbol step is
+one jitted program compiled once; symbols stream through as [A, F+cp] planar
+blocks; phase timings feed the C14-compatible PhaseTimer.
+
+The demodulator is also the consumer side of the shm ring
+(apps/demod_app.py): read symbol -> push -> output row, with the pilot
+(slot 0 of each frame) refreshing the channel estimate.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import FrameConfig
+from ..ops import fft as fft_ops
+from ..ops import ls as ls_ops
+from ..ops import mrc as mrc_ops
+from ..ops.cplx import CArray
+from ..ops.modulate import drop_cyclic_prefix
+from ..utils.timing import PhaseTimer
+
+SymbolLike = Union[np.ndarray, CArray]
+
+
+def _as_carray(x: SymbolLike) -> CArray:
+    return x if isinstance(x, CArray) else CArray.from_numpy(x)
+
+
+def _estimate_symbol_fn(pilot: CArray, x_full: CArray, *, cp: int, fft_impl: str):
+    fft = fft_ops.get_fft(fft_impl)
+    return ls_ops.estimate_channel_full(fft(drop_cyclic_prefix(pilot, cp)), x_full)
+
+
+def _demod_symbol_fn(sym: CArray, hconj: CArray, hsqrd: jnp.ndarray,
+                     *, cp: int, fft_impl: str) -> CArray:
+    fft = fft_ops.get_fft(fft_impl)
+    yf = fft(drop_cyclic_prefix(sym, cp))          # [A, F]
+    eq = mrc_ops.mrc_combine(yf[None], hconj, hsqrd)
+    return mrc_ops.finalize(eq)[0]                 # [F-1]
+
+
+class StreamingDemodulator:
+    """Symbol-at-a-time LS+MRC demodulator with a persistent channel estimate.
+
+    Usage:
+      sd = StreamingDemodulator(cfg, pilot_x)
+      sd.push_pilot(pilot_sym)            # frame start (slot 0)
+      out = sd.push_symbol(data_sym)      # [F-1] per data symbol
+    """
+
+    def __init__(self, cfg: FrameConfig, pilot_x: np.ndarray,
+                 fft_impl: Optional[str] = None,
+                 timer: Optional[PhaseTimer] = None):
+        cfg.validate()
+        self.cfg = cfg
+        self.fft_impl = fft_impl or fft_ops.default_impl()
+        self.x_full = ls_ops.pad_pilot(pilot_x)
+        self.timer = timer
+        self._hconj: Optional[CArray] = None
+        self._hsqrd = None
+        kw = dict(cp=cfg.cyclic_prefix, fft_impl=self.fft_impl)
+        self._estimate = jax.jit(functools.partial(_estimate_symbol_fn, **kw))
+        self._demod = jax.jit(functools.partial(_demod_symbol_fn, **kw))
+
+    @property
+    def has_estimate(self) -> bool:
+        return self._hconj is not None
+
+    def push_pilot(self, pilot_sym: SymbolLike, slot: int = 0) -> None:
+        """Refresh the channel estimate from a frame's pilot symbol [A, F+cp]."""
+        c = _as_carray(pilot_sym)
+        if self.timer:
+            with self.timer.phase("chanest", slot):
+                self._hconj, self._hsqrd = self._estimate(c, self.x_full)
+                jax.block_until_ready(self._hsqrd)
+        else:
+            self._hconj, self._hsqrd = self._estimate(c, self.x_full)
+
+    def push_symbol(self, data_sym: SymbolLike, slot: int = 0) -> CArray:
+        """Demod one data symbol [A, F+cp] -> [F-1] with the current estimate."""
+        if self._hconj is None:
+            raise RuntimeError("no channel estimate: push_pilot first "
+                               "(frame slot 0 is the pilot)")
+        c = _as_carray(data_sym)
+        if self.timer:
+            with self.timer.phase("decode", slot):
+                out = self._demod(c, self._hconj, self._hsqrd)
+                jax.block_until_ready(out.re)
+            return out
+        return self._demod(c, self._hconj, self._hsqrd)
+
+    def warmup(self) -> None:
+        a, n = self.cfg.num_antennas, self.cfg.symbol_len
+        self.push_pilot(np.ones((a, n), np.complex64))
+        jax.block_until_ready(self.push_symbol(np.ones((a, n), np.complex64)).re)
+        self._hconj = None
+        self._hsqrd = None

@@ -1,0 +1,99 @@
+"""Streaming per-symbol demod vs whole-frame pipeline and golden."""
+
+import numpy as np
+import pytest
+
+from ofdm_ls_mrc_tpu import FrameConfig
+from ofdm_ls_mrc_tpu.golden import dsp
+from ofdm_ls_mrc_tpu.models import StreamingDemodulator, UplinkReceiver
+from ofdm_ls_mrc_tpu.utils.timing import PhaseTimer
+
+
+def crandn(rng, shape):
+    return (rng.standard_normal(shape) + 1j * rng.standard_normal(shape)
+            ).astype(np.complex64)
+
+
+CFG = FrameConfig(num_antennas=4, fft_size=64, cyclic_prefix=8, frame_len=6)
+
+
+def test_streaming_matches_whole_frame(rng):
+    pilot = np.exp(2j * np.pi * rng.random(CFG.num_subcarriers)).astype(np.complex64)
+    frame = crandn(rng, (CFG.frame_len, CFG.num_antennas, CFG.symbol_len))
+    whole = UplinkReceiver(CFG, pilot).demod_frame(frame).to_numpy()
+
+    sd = StreamingDemodulator(CFG, pilot)
+    sd.push_pilot(frame[0])
+    rows = [sd.push_symbol(frame[i]).to_numpy() for i in range(1, CFG.frame_len)]
+    np.testing.assert_allclose(np.stack(rows), whole, atol=1e-5)
+
+
+def test_streaming_matches_golden(rng):
+    pilot = np.exp(2j * np.pi * rng.random(CFG.num_subcarriers)).astype(np.complex64)
+    frame = crandn(rng, (CFG.frame_len, CFG.num_antennas, CFG.symbol_len))
+    want = dsp.demod_frame(frame, pilot, CFG.cyclic_prefix)
+    sd = StreamingDemodulator(CFG, pilot)
+    sd.push_pilot(frame[0])
+    rows = [sd.push_symbol(frame[i]).to_numpy() for i in range(1, CFG.frame_len)]
+    np.testing.assert_allclose(np.stack(rows), want, rtol=3e-3, atol=3e-3)
+
+
+def test_requires_pilot_first(rng):
+    pilot = np.exp(2j * np.pi * rng.random(CFG.num_subcarriers)).astype(np.complex64)
+    sd = StreamingDemodulator(CFG, pilot)
+    with pytest.raises(RuntimeError, match="push_pilot"):
+        sd.push_symbol(crandn(rng, (CFG.num_antennas, CFG.symbol_len)))
+
+
+def test_pilot_refresh_changes_estimate(rng):
+    pilot = np.exp(2j * np.pi * rng.random(CFG.num_subcarriers)).astype(np.complex64)
+    f1 = crandn(rng, (CFG.frame_len, CFG.num_antennas, CFG.symbol_len))
+    f2 = crandn(rng, (CFG.frame_len, CFG.num_antennas, CFG.symbol_len))
+    sd = StreamingDemodulator(CFG, pilot)
+    sd.push_pilot(f1[0])
+    a = sd.push_symbol(f1[1]).to_numpy()
+    sd.push_pilot(f2[0])
+    b = sd.push_symbol(f1[1]).to_numpy()
+    assert not np.allclose(a, b)
+
+
+def test_phase_timer_integration(rng):
+    pilot = np.exp(2j * np.pi * rng.random(CFG.num_subcarriers)).astype(np.complex64)
+    frame = crandn(rng, (CFG.frame_len, CFG.num_antennas, CFG.symbol_len))
+    timer = PhaseTimer(num_slots=CFG.frame_len)
+    sd = StreamingDemodulator(CFG, pilot, timer=timer)
+    sd.push_pilot(frame[0], slot=0)
+    for i in range(1, CFG.frame_len):
+        sd.push_symbol(frame[i], slot=i)
+    s = timer.summary()
+    assert s["chanest"][0] > 0
+    assert s["decode"][0] > 0
+    assert timer.frame_latency() > 0
+
+
+def test_timer_report_format():
+    t = PhaseTimer(num_slots=4, num_times=2)
+    for p in ("read", "fft", "decode", "drop"):
+        for i in range(4):
+            t.add(p, i, 1e-3 * (i + 1))
+    t.add("chanest", 0, 5e-3)
+    text = t.print_times()
+    assert "Read:" in text and "ChanEst:" in text and "Frame latency" in text
+    s = t.summary()
+    # decode stats skip slot 0 (reference &decode[1]) and divide by num_times
+    assert abs(s["decode"][0] - np.mean([2e-3, 3e-3, 4e-3]) / 2) < 1e-9
+    assert abs(s["chanest"][0] - 2.5e-3) < 1e-9
+
+
+def test_store_times_binary(tmp_path):
+    from ofdm_ls_mrc_tpu.golden.io import load_times
+    t = PhaseTimer(num_slots=2)
+    t.add("read", 0, 1e-3); t.add("read", 1, 1e-3)
+    t.add("chanest", 0, 2e-3)
+    t.add("decode", 1, 3e-3)
+    t.add("fft", 0, 4e-3); t.add("fft", 1, 4e-3)
+    t.add("drop", 0, 5e-3); t.add("drop", 1, 5e-3)
+    p = tmp_path / "time_tpu.dat"
+    t.store_times(str(p))
+    back = load_times(str(p))
+    np.testing.assert_allclose(back, [1e-3, 2e-3, 3e-3, 4e-3, 5e-3], rtol=1e-5)
