@@ -1,0 +1,212 @@
+"""ctypes bindings to the native C++ shared-memory symbol ring.
+
+The native library (native/shm_ring/shm_ring.cpp) re-implements the
+reference's IPC transport (CSharedMemSimple + ShMemSymBuff protocol,
+ShMemSymBuff.hpp:193-484) with std::atomic correctness, timeouts, and a
+planar-deinterleaving read path that hands the TPU feed (re, im) float32
+planes directly.
+
+The .so is built on demand with the repo's native/Makefile (g++ is part of
+the toolchain contract); no pip packages involved.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+from typing import Optional, Tuple
+
+import numpy as np
+
+_REPO_ROOT = os.path.abspath(os.path.join(os.path.dirname(__file__), "..", ".."))
+_NATIVE_DIR = os.path.join(_REPO_ROOT, "native")
+_SO_PATH = os.path.join(_NATIVE_DIR, "build", "libshm_ring.so")
+_SRC_PATH = os.path.join(_NATIVE_DIR, "shm_ring", "shm_ring.cpp")
+
+RING_OK = 0
+RING_TIMEOUT = -1
+RING_SHUTDOWN = -2
+RING_BADARG = -3
+RING_OVERRUN = -4
+
+_lib = None
+_lib_lock = threading.Lock()
+
+
+class RingError(RuntimeError):
+    pass
+
+
+class RingTimeout(RingError):
+    pass
+
+
+class RingShutdown(RingError):
+    pass
+
+
+def _build_library() -> None:
+    subprocess.run(["make", "-s", "-C", _NATIVE_DIR], check=True)
+
+
+def _load() -> ctypes.CDLL:
+    global _lib
+    with _lib_lock:
+        if _lib is not None:
+            return _lib
+        if (not os.path.exists(_SO_PATH)
+                or os.path.getmtime(_SO_PATH) < os.path.getmtime(_SRC_PATH)):
+            _build_library()
+        lib = ctypes.CDLL(_SO_PATH)
+        lib.ring_open.restype = ctypes.c_void_p
+        lib.ring_open.argtypes = [ctypes.c_char_p, ctypes.c_int, ctypes.c_int,
+                                  ctypes.c_int, ctypes.c_int, ctypes.c_double]
+        lib.ring_close.argtypes = [ctypes.c_void_p]
+        lib.ring_shutdown.argtypes = [ctypes.c_void_p]
+        for name in ("ring_rows", "ring_cols", "ring_len", "ring_dropped",
+                     "ring_available"):
+            fn = getattr(lib, name)
+            fn.restype = ctypes.c_int
+            fn.argtypes = [ctypes.c_void_p]
+        lib.ring_spin_seconds.restype = ctypes.c_double
+        lib.ring_spin_seconds.argtypes = [ctypes.c_void_p]
+        fptr = ctypes.POINTER(ctypes.c_float)
+        lib.ring_write.restype = ctypes.c_int
+        lib.ring_write.argtypes = [ctypes.c_void_p, fptr, ctypes.c_int,
+                                   ctypes.c_double]
+        for name in ("ring_read_next", "ring_read_last"):
+            fn = getattr(lib, name)
+            fn.restype = ctypes.c_int
+            fn.argtypes = [ctypes.c_void_p, fptr, ctypes.c_int, ctypes.c_int,
+                           ctypes.c_double]
+        _lib = lib
+        return lib
+
+
+def _check(rc: int, what: str) -> None:
+    if rc == RING_OK:
+        return
+    if rc == RING_TIMEOUT:
+        raise RingTimeout(f"{what} timed out")
+    if rc == RING_SHUTDOWN:
+        raise RingShutdown(f"{what}: ring shut down")
+    raise RingError(f"{what} failed with code {rc}")
+
+
+class SymbolRing:
+    """One end of the producer/consumer symbol ring.
+
+    Mirrors the reference's master/slave roles (master creates and unlinks
+    the segment -- the RX/ingest process, rx_and_corr.cpp:52,302; the demod
+    process attaches as slave, cpuLS_main.cpp:76).
+
+    Args:
+      uid:    shm name, e.g. "/ofdm_ring" (reference "/blah", ShMemSymBuff.hpp:69).
+      rows:   antennas per symbol.
+      cols:   samples per row INCLUDING cyclic prefix.
+      length: ring slots (lenOfBuffer).
+      master: True to create/initialize the segment.
+      timeout: default spin-wait timeout in seconds.
+    """
+
+    def __init__(self, uid: str, rows: int, cols: int, length: int,
+                 master: bool, timeout: float = 30.0):
+        self._lib = _load()
+        self._timeout = float(timeout)
+        self.rows, self.cols, self.length = rows, cols, length
+        self.uid = uid
+        handle = self._lib.ring_open(uid.encode(), rows, cols, length,
+                                     1 if master else 0, self._timeout)
+        if not handle:
+            raise RingError(
+                f"ring_open({uid!r}) failed"
+                + ("" if master else " (master not up within timeout?)"))
+        self._handle = ctypes.c_void_p(handle)
+        self.master = master
+
+    # -- producer side ---------------------------------------------------------
+    def write(self, symbol: np.ndarray, wait: bool = True,
+              timeout: Optional[float] = None) -> bool:
+        """Write one [rows, cols] complex64 symbol.
+
+        wait=True  -> writeNextSymbolWithWait (backpressure on the reader).
+        wait=False -> writeNextSymbolNoWait (live path): on a full ring the
+                      symbol is dropped, the overrun counted, and False
+                      returned -- never blocks.
+        """
+        sym = np.ascontiguousarray(symbol, dtype=np.complex64)
+        if sym.shape != (self.rows, self.cols):
+            raise ValueError(f"symbol shape {sym.shape} != ({self.rows}, {self.cols})")
+        buf = sym.view(np.float32)
+        rc = self._lib.ring_write(
+            self._handle, buf.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            1 if wait else 0, timeout or self._timeout)
+        if rc == RING_OVERRUN and not wait:
+            return False
+        _check(rc, "ring_write")
+        return True
+
+    # -- consumer side ---------------------------------------------------------
+    def _read(self, fn, cp: int, planar: bool, timeout: Optional[float]):
+        keep = self.cols - cp
+        if planar:
+            out = np.empty((2, self.rows, keep), dtype=np.float32)
+        else:
+            out = np.empty((self.rows, keep), dtype=np.complex64)
+        buf = out.view(np.float32)
+        rc = fn(self._handle, buf.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+                cp, 1 if planar else 0, timeout or self._timeout)
+        _check(rc, fn.__name__ if hasattr(fn, "__name__") else "ring_read")
+        return out
+
+    def read_next(self, cp: int = 0, timeout: Optional[float] = None) -> np.ndarray:
+        """Blocking read of the next symbol, CP dropped: [rows, cols-cp] complex64."""
+        return self._read(self._lib.ring_read_next, cp, False, timeout)
+
+    def read_next_planar(self, cp: int = 0,
+                         timeout: Optional[float] = None) -> Tuple[np.ndarray, np.ndarray]:
+        """Blocking read deinterleaved to planar: (re, im) float32 [rows, cols-cp]."""
+        out = self._read(self._lib.ring_read_next, cp, True, timeout)
+        return out[0], out[1]
+
+    def read_last(self, cp: int = 0, timeout: Optional[float] = None) -> np.ndarray:
+        """readLastSymbol semantics: no wait-for-writer on cursor advance."""
+        return self._read(self._lib.ring_read_last, cp, False, timeout)
+
+    def read_last_planar(self, cp: int = 0,
+                         timeout: Optional[float] = None) -> Tuple[np.ndarray, np.ndarray]:
+        out = self._read(self._lib.ring_read_last, cp, True, timeout)
+        return out[0], out[1]
+
+    # -- lifecycle / observability ----------------------------------------------
+    @property
+    def dropped(self) -> int:
+        """Writer overruns recorded by the no-wait path."""
+        return self._lib.ring_dropped(self._handle)
+
+    @property
+    def available(self) -> int:
+        """Symbols currently buffered and unread."""
+        return self._lib.ring_available(self._handle)
+
+    @property
+    def spin_seconds(self) -> float:
+        """Cumulative time this end spent spin-waiting (read-phase analogue)."""
+        return self._lib.ring_spin_seconds(self._handle)
+
+    def shutdown(self) -> None:
+        """Raise the size=-1 sentinel so peers unblock and exit."""
+        self._lib.ring_shutdown(self._handle)
+
+    def close(self) -> None:
+        if self._handle:
+            self._lib.ring_close(self._handle)
+            self._handle = None
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()

@@ -1,0 +1,215 @@
+"""Native shm ring: protocol semantics + concurrency tests.
+
+Covers the reference ring protocol (ShMemSymBuff.hpp:193-484): empty-start
+sentinel, with/without-wait writes, CP-drop on read, wrap-around, shutdown
+handshake -- plus what the reference never tests: timeouts instead of
+infinite spins, overrun accounting, and a threaded producer/consumer soak.
+"""
+
+import threading
+import uuid
+
+import numpy as np
+import pytest
+
+from ofdm_ls_mrc_tpu.io.ring import (
+    RingShutdown,
+    RingTimeout,
+    SymbolRing,
+)
+
+ROWS, COLS, CP, LEN = 4, 72, 8, 5
+
+
+def _uid():
+    return f"/ofdm_test_{uuid.uuid4().hex[:12]}"
+
+
+def _sym(rng, scale=1.0):
+    return (scale * (rng.standard_normal((ROWS, COLS))
+                     + 1j * rng.standard_normal((ROWS, COLS)))).astype(np.complex64)
+
+
+@pytest.fixture
+def pair():
+    uid = _uid()
+    master = SymbolRing(uid, ROWS, COLS, LEN, master=True, timeout=5.0)
+    slave = SymbolRing(uid, ROWS, COLS, LEN, master=False, timeout=5.0)
+    yield master, slave
+    slave.close()
+    master.close()
+
+
+class TestProtocol:
+    def test_roundtrip(self, pair, rng):
+        w, r = pair
+        sym = _sym(rng)
+        w.write(sym)
+        got = r.read_next(cp=0)
+        np.testing.assert_array_equal(got, sym)
+
+    def test_cp_drop_on_read(self, pair, rng):
+        w, r = pair
+        sym = _sym(rng)
+        w.write(sym)
+        got = r.read_next(cp=CP)
+        np.testing.assert_array_equal(got, sym[:, CP:])
+
+    def test_planar_read_matches(self, pair, rng):
+        w, r = pair
+        sym = _sym(rng)
+        w.write(sym)
+        re, im = r.read_next_planar(cp=CP)
+        np.testing.assert_array_equal(re, sym[:, CP:].real)
+        np.testing.assert_array_equal(im, sym[:, CP:].imag)
+
+    def test_fifo_order_with_wraparound(self, pair, rng):
+        w, r = pair
+        syms = [_sym(rng) for _ in range(3 * LEN)]
+        out = []
+
+        def produce():
+            for s in syms:
+                w.write(s, wait=True)
+
+        t = threading.Thread(target=produce)
+        t.start()
+        for i in range(len(syms)):
+            if i == len(syms) - 1:
+                out.append(r.read_last(cp=0))
+            else:
+                out.append(r.read_next(cp=0))
+        t.join()
+        for got, want in zip(out, syms):
+            np.testing.assert_array_equal(got, want)
+
+    def test_read_empty_times_out(self, pair):
+        _, r = pair
+        with pytest.raises(RingTimeout):
+            r.read_next(cp=0, timeout=0.1)
+
+    def test_slave_times_out_without_master(self):
+        with pytest.raises(Exception, match="ring_open"):
+            SymbolRing(_uid(), ROWS, COLS, LEN, master=False, timeout=0.2)
+
+    def test_shutdown_unblocks_reader(self, pair):
+        w, r = pair
+        exc = []
+
+        def read():
+            try:
+                r.read_next(cp=0, timeout=10.0)
+            except RingShutdown as e:
+                exc.append(e)
+
+        t = threading.Thread(target=read)
+        t.start()
+        w.shutdown()
+        t.join(timeout=5.0)
+        assert not t.is_alive()
+        assert exc, "reader should observe the shutdown sentinel"
+
+    def test_nowait_writer_counts_overruns(self, pair, rng):
+        w, _ = pair
+        for _ in range(3 * LEN):
+            w.write(_sym(rng), wait=False)
+        assert w.dropped > 0
+
+    def test_geometry_mismatch_rejected(self):
+        uid = _uid()
+        m = SymbolRing(uid, ROWS, COLS, LEN, master=True)
+        try:
+            with pytest.raises(Exception, match="ring_open"):
+                SymbolRing(uid, ROWS + 1, COLS, LEN, master=False, timeout=0.3)
+        finally:
+            m.close()
+
+    def test_bad_symbol_shape_rejected(self, pair, rng):
+        w, _ = pair
+        with pytest.raises(ValueError, match="shape"):
+            w.write(np.zeros((ROWS, COLS + 1), np.complex64))
+
+
+class TestConcurrency:
+    def test_threaded_soak(self, rng):
+        """Producer and consumer hammer the ring across many wraps; every
+        symbol arrives intact and in order (the reference's unsynchronized
+        int cursors cannot guarantee this)."""
+        uid = _uid()
+        n = 40 * LEN
+        payloads = np.arange(n, dtype=np.float32)
+        w = SymbolRing(uid, ROWS, COLS, LEN, master=True, timeout=10.0)
+        r = SymbolRing(uid, ROWS, COLS, LEN, master=False, timeout=10.0)
+        got = []
+
+        def produce():
+            for k in range(n):
+                sym = np.full((ROWS, COLS), payloads[k] + 1j * payloads[k],
+                              np.complex64)
+                w.write(sym, wait=True)
+
+        def consume():
+            for k in range(n):
+                if k == n - 1:
+                    s = r.read_last(cp=0)
+                else:
+                    s = r.read_next(cp=0)
+                got.append(s[0, 0].real)
+
+        tp = threading.Thread(target=produce)
+        tc = threading.Thread(target=consume)
+        tp.start(); tc.start()
+        tp.join(timeout=60); tc.join(timeout=60)
+        assert not tp.is_alive() and not tc.is_alive()
+        np.testing.assert_array_equal(np.array(got), payloads)
+        r.close()
+        w.close()
+
+    def test_spin_time_observable(self, rng):
+        uid = _uid()
+        w = SymbolRing(uid, ROWS, COLS, LEN, master=True, timeout=5.0)
+        r = SymbolRing(uid, ROWS, COLS, LEN, master=False, timeout=5.0)
+
+        def delayed_write():
+            import time
+            time.sleep(0.05)
+            w.write(_sym(rng))
+
+        t = threading.Thread(target=delayed_write)
+        t.start()
+        r.read_next(cp=0)
+        t.join()
+        assert r.spin_seconds > 0.01
+        r.close()
+        w.close()
+
+
+class TestCrossProcess:
+    def test_two_processes(self, rng):
+        """Real contract: producer and consumer in separate OS processes
+        (the reference topology: RX writer process + demod reader process)."""
+        import multiprocessing as mp
+
+        uid = _uid()
+        n = 4 * LEN
+        ctx = mp.get_context("spawn")
+
+        p = ctx.Process(target=_xproc_producer, args=(uid, n, ROWS, COLS, LEN))
+        p.start()
+        r = SymbolRing(uid, ROWS, COLS, LEN, master=False, timeout=20.0)
+        vals = []
+        for k in range(n):
+            vals.append(r.read_next(cp=0)[0, 0].real)
+        p.join(timeout=30)
+        assert p.exitcode == 0
+        np.testing.assert_array_equal(np.array(vals), np.arange(n, dtype=np.float32))
+        r.close()
+
+
+def _xproc_producer(uid, n, rows, cols, length):
+    import numpy as np
+    from ofdm_ls_mrc_tpu.io.ring import SymbolRing
+    w = SymbolRing(uid, rows, cols, length, master=True, timeout=20.0)
+    for k in range(n):
+        w.write(np.full((rows, cols), float(k) + 1j, np.complex64), wait=True)
+    w.close()
