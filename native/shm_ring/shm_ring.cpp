@@ -285,6 +285,19 @@ int read_impl(void* ring, float* out, int cp, int planar, double timeout_s) {
 
 }  // namespace
 
+// Block until the reader has consumed everything written (used by the
+// master before teardown, replacing the reference's destructor handshake,
+// ShMemSymBuff.hpp:221-230).  RING_OK once drained.
+int ring_wait_drained(void* ring, double timeout_s) {
+  Ring* r = static_cast<Ring*>(ring);
+  if (!r) return RING_BADARG;
+  RingHeader* h = r->hdr;
+  return spin_until(r, [&] {
+    return h->tail.load(std::memory_order_acquire) >=
+           h->head.load(std::memory_order_acquire);
+  }, timeout_s);
+}
+
 // Blocking read of the next symbol (readNextSymbol, ShMemSymBuff.hpp:237-297).
 int ring_read_next(void* ring, float* out, int cp, int planar, double timeout_s) {
   return read_impl(ring, out, cp, planar, timeout_s);

@@ -1,0 +1,120 @@
+"""Demodulator process: ring slave -> jitted LS+MRC -> Output file.
+
+The equivalent of the reference's ``cpu``/``gpu`` entry mains
+(cpuLS_main.cpp:57-106, gpuLS_main.cu:66-145): attach to the symbol ring as
+slave, run ``num_times x (channel-estimate + demod)`` over frames, append
+demodulated symbols to the output file, and print/store the phase-timing
+report.
+
+Run:  python -m ofdm_ls_mrc_tpu.apps.demod_app --antennas 16 --fft-size 1024 \\
+          --cp-size 72 --frame-len 101 --num-frames 4
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+import numpy as np
+
+
+def build_parser() -> argparse.ArgumentParser:
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--shm-uid", default="/ofdm_ring",
+                    help="shared-memory ring name (reference shmemID '/blah')")
+    ap.add_argument("--antennas", type=int, default=16, help="numOfRows")
+    ap.add_argument("--fft-size", type=int, default=1024, help="dimension")
+    ap.add_argument("--cp-size", type=int, default=0, help="cyclic prefix length")
+    ap.add_argument("--frame-len", type=int, default=101,
+                    help="symbols per frame incl. pilot (lenOfBuffer)")
+    ap.add_argument("--pilots", default="Pilots.dat",
+                    help="pilot file (complex64, fftshift-ed on load)")
+    ap.add_argument("--output", default="Output_tpu.dat",
+                    help="demodulated output (raw complex64 rows)")
+    ap.add_argument("--num-frames", type=int, default=1,
+                    help="frames to process (numTimes)")
+    ap.add_argument("--fft-impl", default=None,
+                    choices=[None, "xla", "matmul", "four_step"],
+                    help="FFT implementation (default: backend-appropriate)")
+    ap.add_argument("--timeout", type=float, default=30.0,
+                    help="ring spin-wait timeout seconds")
+    ap.add_argument("--store-times", default=None,
+                    help="write binary 5-word timing dump (time_*.dat layout)")
+    ap.add_argument("--no-timer", action="store_true")
+    return ap
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+
+    from ..config import FrameConfig
+    from ..golden.io import append_output, load_pilot
+    from ..io.feed import RingFeed
+    from ..io.ring import SymbolRing
+    from ..models import UplinkReceiver
+    from ..utils.timing import PhaseTimer
+
+    # The ring drops the CP during copy-out, so the device pipeline sees
+    # CP-free symbols (cyclic_prefix=0 here; --cp-size shapes the ring).
+    cfg = FrameConfig(num_antennas=args.antennas, fft_size=args.fft_size,
+                      cyclic_prefix=0, frame_len=args.frame_len)
+    ring_cols = args.fft_size + args.cp_size
+
+    pilot = load_pilot(args.pilots, cfg.num_subcarriers)
+    rx = UplinkReceiver(cfg, pilot, fft_impl=args.fft_impl)
+    rx.warmup()
+
+    timer = None if args.no_timer else PhaseTimer(
+        num_slots=args.frame_len, num_times=args.num_frames)
+
+    ring = SymbolRing(args.shm_uid, args.antennas, ring_cols, args.frame_len,
+                      master=False, timeout=args.timeout)
+    feed = _make_feed(ring, cfg, args.cp_size, timer)
+
+    import jax
+
+    n = 0
+    for frame in feed.frames(max_frames=args.num_frames):
+        if timer:
+            with timer.phase("decode", min(n, args.frame_len - 1)):
+                out = rx.demod_frame(frame)
+                jax.block_until_ready(out.re)
+        else:
+            out = rx.demod_frame(frame)
+        append_output(args.output, out.to_numpy(), truncate=(n == 0))
+        n += 1
+    print(f"demodulated {n} frame(s) -> {args.output}")
+
+    if timer:
+        timer.print_times()
+        if args.store_times:
+            timer.store_times(args.store_times)
+    feed.stop()   # join the reader thread before unmapping the segment
+    ring.close()
+    return 0
+
+
+def _make_feed(ring, cfg, cp_size, timer):
+    """RingFeed wired for a CP-carrying ring feeding a CP-free pipeline."""
+    from ..io.feed import RingFeed
+
+    class _CpRingView:
+        """Presents the ring with CP-dropping reads as CP-free geometry."""
+
+        def __init__(self, ring, cp):
+            self._ring = ring
+            self._cp = cp
+            self.rows = ring.rows
+            self.cols = ring.cols - cp
+
+        def read_next_planar(self, cp=0):
+            return self._ring.read_next_planar(cp=self._cp)
+
+        def shutdown(self):
+            self._ring.shutdown()
+
+    return RingFeed(_CpRingView(ring, cp_size), cfg, timer=timer)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,114 @@
+"""TX process: modulate frames (+ optional PN preamble) to an IQ capture.
+
+The hardware-free replacement for the reference's UHD transmit app
+(tx_same_seq_no_udp.cpp:84-445): keeps its CLI surface (--rate/--freq/
+--gain/--channels/--same-time, tx_same_seq_no_udp.cpp:95-117) and its
+optional PN-preamble prepend (tx_same_seq_no_udp.cpp:255-267,300-308), but
+"transmits" into a complex64 capture file (optionally through the synthetic
+multipath channel) that rx_app plays back -- closing the reference's
+TX -> air -> RX loop without radios.
+
+Run:  python -m ofdm_ls_mrc_tpu.apps.tx_app --out capture.dat --antennas 16 \\
+          --fft-size 1024 --cp-size 72 --frame-len 101 --snr 25
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+import numpy as np
+
+
+def build_parser() -> argparse.ArgumentParser:
+    ap = argparse.ArgumentParser(description=__doc__)
+    # Reference CLI surface (informational without hardware).
+    ap.add_argument("--rate", type=float, default=1e6)
+    ap.add_argument("--freq", type=float, default=0.0)
+    ap.add_argument("--gain", type=float, default=0.0)
+    ap.add_argument("--channels", default="0")
+    ap.add_argument("--same-time", action="store_true",
+                    help="duplicate the stream across channels (reference "
+                         "--same-time, tx_same_seq_no_udp.cpp:269-298)")
+    # Framework-specific.
+    ap.add_argument("--out", required=True, help="output IQ capture file")
+    ap.add_argument("--in-file", default=None,
+                    help="optional subcarrier data file (complex64, rows of "
+                         "F-1); default: random QPSK")
+    ap.add_argument("--data-out", default=None,
+                    help="write the sent subcarrier data for EVM checks")
+    ap.add_argument("--antennas", type=int, default=16,
+                    help="RX antennas to simulate when --snr is given")
+    ap.add_argument("--fft-size", type=int, default=1024)
+    ap.add_argument("--cp-size", type=int, default=72)
+    ap.add_argument("--frame-len", type=int, default=101)
+    ap.add_argument("--num-frames", type=int, default=1)
+    ap.add_argument("--pilots", default="Pilots.dat")
+    ap.add_argument("--pn-file", default="PNSeq_255_MaxLenSeq.dat")
+    ap.add_argument("--pn-preamble", action="store_true",
+                    help="prepend the PN sequence before the first frame")
+    ap.add_argument("--snr", type=float, default=None,
+                    help="run through the synthetic multipath channel at this "
+                         "SNR (dB); output becomes [antennas, N]")
+    ap.add_argument("--channel-taps", type=int, default=8)
+    ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--modulation", default="qpsk", choices=["qpsk", "16qam"])
+    return ap
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+
+    from ..golden.io import load_pilot, load_pn_sequence
+    from ..sim.channel import ChannelModel, make_tx_frame, random_symbols
+
+    rng = np.random.default_rng(args.seed)
+    f = args.fft_size
+    pilot = load_pilot(args.pilots, f - 1)
+
+    frames = []
+    sent = []
+    for _ in range(args.num_frames):
+        if args.in_file:
+            data = np.fromfile(args.in_file, dtype=np.complex64)
+            data = data[: (args.frame_len - 1) * (f - 1)].reshape(-1, f - 1)
+        else:
+            data, _ = random_symbols(rng, (args.frame_len - 1, f - 1),
+                                     args.modulation)
+        sent.append(data)
+        frames.append(make_tx_frame(data, pilot, args.cp_size))  # [S, F+cp]
+    stream = np.concatenate([fr.reshape(-1) for fr in frames])   # single stream
+
+    if args.pn_preamble:
+        pn = load_pn_sequence(args.pn_file)
+        stream = np.concatenate([pn.astype(np.complex64), stream])
+
+    if args.snr is not None:
+        # Through the multipath channel: one TX stream -> A antenna streams.
+        sym_len = f + args.cp_size
+        pre = stream.size % sym_len  # PN preamble isn't symbol-aligned
+        body = stream[pre:].reshape(-1, sym_len)
+        chan = ChannelModel(args.antennas, f, num_taps=args.channel_taps,
+                            snr_db=args.snr, seed=args.seed + 1)
+        rx = chan.apply(body, args.cp_size)              # [S_total, A, sym]
+        out = np.swapaxes(rx, 0, 1).reshape(args.antennas, -1)
+        if pre:
+            # Preamble passes through a flat unit channel (sync only).
+            pn_part = np.broadcast_to(stream[:pre], (args.antennas, pre))
+            out = np.concatenate([pn_part, out], axis=1)
+        out.astype(np.complex64).tofile(args.out)
+    else:
+        streams = np.broadcast_to(
+            stream, ((args.antennas if args.same_time else 1), stream.size))
+        streams.astype(np.complex64).tofile(args.out)
+
+    if args.data_out:
+        np.concatenate(sent).astype(np.complex64).tofile(args.data_out)
+    print(f"TX: wrote {args.out} "
+          f"({args.num_frames} frame(s), pn_preamble={args.pn_preamble}, "
+          f"snr={args.snr})")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,13 @@
+"""Host IO: native shm ring bindings, async device feed, file formats."""
+
+from .feed import FrameAssembler, RingFeed
+from .ring import RingError, RingShutdown, RingTimeout, SymbolRing
+
+__all__ = [
+    "FrameAssembler",
+    "RingError",
+    "RingFeed",
+    "RingShutdown",
+    "RingTimeout",
+    "SymbolRing",
+]

@@ -1,0 +1,149 @@
+"""Streaming ingest: shm ring -> double-buffered async device feed.
+
+The reference couples its ring reads to compute synchronously (spin-read a
+symbol, cudaMemcpy, demod, repeat -- gpuLS.cu:410-473).  Here a background
+thread drains the ring into pre-allocated planar host frames while the
+device crunches the previous frame: JAX dispatch is async, so the
+device_put + jitted demod of frame k overlaps the ring reads of frame k+1
+(the copy/compute overlap the reference gets from per-symbol
+cudaMemcpyAsync, ShMemSymBuff_cucomplex.hpp:356-373, done at frame
+granularity with two rotating host buffers).
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from typing import Iterator, Optional
+
+import jax
+import numpy as np
+
+from ..config import FrameConfig
+from ..ops.cplx import CArray
+from ..utils.timing import PhaseTimer
+from .ring import RingShutdown, RingTimeout, SymbolRing
+
+
+class FrameAssembler:
+    """Collects per-symbol planar reads into a [S, A, F] planar frame pair."""
+
+    def __init__(self, cfg: FrameConfig):
+        self.cfg = cfg
+        s, a, f = cfg.frame_len, cfg.num_antennas, cfg.fft_size
+        # CP is dropped by the ring's copy-out, so frames are CP-free here.
+        self.re = np.empty((s, a, f), dtype=np.float32)
+        self.im = np.empty((s, a, f), dtype=np.float32)
+        self._slot = 0
+
+    @property
+    def full(self) -> bool:
+        return self._slot >= self.cfg.frame_len
+
+    def push(self, re: np.ndarray, im: np.ndarray) -> None:
+        self.re[self._slot] = re
+        self.im[self._slot] = im
+        self._slot += 1
+
+    def reset(self) -> None:
+        self._slot = 0
+
+
+class RingFeed:
+    """Iterates device-resident planar frames read from a SymbolRing.
+
+    Two host-side assemblers rotate: while the consumer holds frame k (already
+    dispatched to the device), the reader thread fills frame k+1 from the
+    ring.  Ring CP-drop and (re,im) deinterleave happen inside the native
+    copy-out (ring.read_next_planar), so the host never touches interleaved
+    data.
+
+    Usage:
+      feed = RingFeed(ring, cfg, timer=timer)
+      for frame in feed.frames():          # CArray [S, A, F] on device
+          out = receiver.demod_frame(frame)
+    """
+
+    def __init__(self, ring: SymbolRing, cfg: FrameConfig,
+                 timer: Optional[PhaseTimer] = None, depth: int = 2):
+        if ring.cols != cfg.symbol_len:
+            raise ValueError(f"ring cols {ring.cols} != symbol_len {cfg.symbol_len}")
+        if ring.rows != cfg.num_antennas:
+            raise ValueError(f"ring rows {ring.rows} != antennas {cfg.num_antennas}")
+        self.ring = ring
+        self.cfg = cfg
+        self.timer = timer
+        self._buffers = [FrameAssembler(cfg) for _ in range(depth)]
+        self._ready: "queue.Queue" = queue.Queue(maxsize=depth - 1 or 1)
+        self._free: "queue.Queue" = queue.Queue()
+        for b in self._buffers:
+            self._free.put(b)
+        self._stop = threading.Event()
+        self._reader: Optional[threading.Thread] = None
+        self._error: Optional[BaseException] = None
+
+    # -- reader thread -----------------------------------------------------------
+    def _read_loop(self) -> None:
+        cp = self.cfg.cyclic_prefix
+        try:
+            while not self._stop.is_set():
+                buf = self._free.get()
+                if buf is None:  # stop() sentinel
+                    return
+                buf.reset()
+                for slot in range(self.cfg.frame_len):
+                    if self.timer:
+                        with self.timer.phase("read", slot):
+                            re, im = self.ring.read_next_planar(cp=cp)
+                    else:
+                        re, im = self.ring.read_next_planar(cp=cp)
+                    buf.push(re, im)
+                self._ready.put(buf)
+        except (RingShutdown, RingTimeout) as e:
+            self._error = e
+            self._ready.put(None)  # wake the consumer
+        except BaseException as e:  # propagate unexpected errors too
+            self._error = e
+            self._ready.put(None)
+
+    # -- consumer side -------------------------------------------------------------
+    def frames(self, max_frames: Optional[int] = None) -> Iterator[CArray]:
+        """Yield device-resident planar frames until shutdown/timeout."""
+        self._reader = threading.Thread(target=self._read_loop, daemon=True)
+        self._reader.start()
+        n = 0
+        try:
+            while max_frames is None or n < max_frames:
+                buf = self._ready.get()
+                if buf is None:
+                    if isinstance(self._error, (RingShutdown, RingTimeout)):
+                        return  # clean end-of-stream
+                    raise self._error
+                # Async dispatch: device_put returns immediately; the copy
+                # overlaps the next frame's ring reads.  On CPU backends
+                # device_put may alias the host buffer, so force a real copy
+                # there (the buffer is recycled and would be overwritten).
+                if jax.default_backend() == "cpu":
+                    import jax.numpy as jnp
+                    frame = CArray(jnp.array(buf.re), jnp.array(buf.im))
+                else:
+                    frame = CArray(jax.device_put(buf.re), jax.device_put(buf.im))
+                yield frame
+                # The H2D copy must complete before the assembler is recycled;
+                # by now the consumer has dispatched its work on the frame, so
+                # this wait overlaps compute rather than serializing it.
+                frame.re.block_until_ready()
+                frame.im.block_until_ready()
+                self._free.put(buf)
+                n += 1
+        finally:
+            self._stop.set()
+
+    def stop(self) -> None:
+        """Stop the reader thread and join it BEFORE the ring is closed --
+        the native spin loops must not touch an unmapped segment."""
+        self._stop.set()
+        self.ring.shutdown()      # unblocks a reader stuck in ring_read
+        self._free.put(None)      # unblocks a reader stuck waiting for a buffer
+        if self._reader is not None:
+            self._reader.join(timeout=10.0)

@@ -72,6 +72,8 @@ def _load() -> ctypes.CDLL:
             fn.argtypes = [ctypes.c_void_p]
         lib.ring_spin_seconds.restype = ctypes.c_double
         lib.ring_spin_seconds.argtypes = [ctypes.c_void_p]
+        lib.ring_wait_drained.restype = ctypes.c_int
+        lib.ring_wait_drained.argtypes = [ctypes.c_void_p, ctypes.c_double]
         fptr = ctypes.POINTER(ctypes.c_float)
         lib.ring_write.restype = ctypes.c_int
         lib.ring_write.argtypes = [ctypes.c_void_p, fptr, ctypes.c_int,
@@ -195,6 +197,15 @@ class SymbolRing:
     def spin_seconds(self) -> float:
         """Cumulative time this end spent spin-waiting (read-phase analogue)."""
         return self._lib.ring_spin_seconds(self._handle)
+
+    def wait_drained(self, timeout: Optional[float] = None) -> bool:
+        """Block until the reader consumed everything written (master-side
+        teardown handshake).  Returns False on timeout."""
+        rc = self._lib.ring_wait_drained(self._handle, timeout or self._timeout)
+        if rc == RING_TIMEOUT:
+            return False
+        _check(rc, "ring_wait_drained")
+        return True
 
     def shutdown(self) -> None:
         """Raise the size=-1 sentinel so peers unblock and exit."""

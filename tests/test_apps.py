@@ -1,0 +1,99 @@
+"""End-to-end three-process topology: tx_app -> rx_app -> demod_app.
+
+Replicates the reference's runtime layout (SURVEY.md section 1): a TX
+producing an IQ capture, an RX process PN-syncing it and writing symbols
+into the shm ring as master, and a demod process draining the ring as slave
+-- all via the CLI apps, checked for EVM against the sent data.
+"""
+
+import os
+import subprocess
+import sys
+import uuid
+
+import numpy as np
+import pytest
+
+REPO = os.path.abspath(os.path.join(os.path.dirname(__file__), ".."))
+# Subprocesses must run on CPU: strip any TPU sitecustomize dir from
+# PYTHONPATH (it force-registers a TPU platform after env processing).
+_pp = [p for p in os.environ.get("PYTHONPATH", "").split(os.pathsep)
+       if p and "axon" not in p]
+ENV_BASE = {**os.environ, "JAX_PLATFORMS": "cpu",
+            "PYTHONPATH": os.pathsep.join([REPO] + _pp)}
+
+A, F, CP, S = 4, 64, 8, 9
+
+
+def run(cmd, **kw):
+    return subprocess.run([sys.executable, "-m"] + cmd, cwd=REPO, env=ENV_BASE,
+                          capture_output=True, text=True, timeout=300, **kw)
+
+
+@pytest.fixture
+def workdir(tmp_path):
+    return tmp_path
+
+
+def test_three_process_loopback(workdir):
+    cap = str(workdir / "capture.dat")
+    sent = str(workdir / "sent.dat")
+    out = str(workdir / "Output_tpu.dat")
+    uid = f"/ofdm_app_{uuid.uuid4().hex[:8]}"
+    common = ["--antennas", str(A), "--fft-size", str(F),
+              "--cp-size", str(CP), "--frame-len", str(S)]
+
+    # TX: modulate one frame through a 25 dB channel, with PN preamble.
+    r = run(["ofdm_ls_mrc_tpu.apps.tx_app", "--out", cap, "--data-out", sent,
+             "--pn-preamble", "--snr", "35", "--channel-taps", "4",
+             "--pilots", str(workdir / "nonexistent_pilots.dat"),
+             "--pn-file", str(workdir / "nonexistent_pn.dat")] + common
+            + ["--num-frames", "1"])
+    assert r.returncode == 0, r.stderr
+
+    # RX (master) and demod (slave) run concurrently.
+    rx = subprocess.Popen(
+        [sys.executable, "-m", "ofdm_ls_mrc_tpu.apps.rx_app", "--file", cap,
+         "--shm-uid", uid, "--thres", "0.05", "--wait-writes",
+         "--pn-file", str(workdir / "nonexistent_pn.dat"),
+         "--num-frames", "1"] + common,
+        cwd=REPO, env=ENV_BASE, stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+        text=True)
+    dm = subprocess.Popen(
+        [sys.executable, "-m", "ofdm_ls_mrc_tpu.apps.demod_app",
+         "--shm-uid", uid, "--output", out, "--num-frames", "1",
+         "--pilots", str(workdir / "nonexistent_pilots.dat")] + common,
+        cwd=REPO, env=ENV_BASE, stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+        text=True)
+    rx_out, rx_err = rx.communicate(timeout=300)
+    dm_out, dm_err = dm.communicate(timeout=300)
+    assert rx.returncode == 0, rx_err + rx_out
+    assert dm.returncode == 0, dm_err + dm_out
+    assert "PN sync" in rx_out
+
+    got = np.fromfile(out, dtype=np.complex64).reshape(S - 1, F - 1)
+    want = np.fromfile(sent, dtype=np.complex64).reshape(S - 1, F - 1)
+    # demod output is ifftshift-ed (reference convention); undo for EVM.
+    got_natural = np.fft.fftshift(got, axes=-1)
+    evm = 10 * np.log10(np.mean(np.abs(got_natural - want) ** 2)
+                        / np.mean(np.abs(want) ** 2))
+    assert evm < -25.0, f"EVM {evm:.1f} dB"
+    assert "ChanEst" in dm_out  # timing table printed
+
+
+def test_rx_app_no_peak_errors_cleanly(workdir):
+    cap = str(workdir / "noise.dat")
+    rng = np.random.default_rng(0)
+    (0.001 * (rng.standard_normal((A, 4096)) + 1j * rng.standard_normal((A, 4096)))
+     ).astype(np.complex64).tofile(cap)
+    r = run(["ofdm_ls_mrc_tpu.apps.rx_app", "--file", cap, "--thres", "0.9",
+             "--antennas", str(A), "--fft-size", str(F), "--cp-size", str(CP),
+             "--frame-len", str(S), "--shm-uid", f"/x{uuid.uuid4().hex[:8]}",
+             "--pn-file", str(workdir / "none.dat")])
+    assert r.returncode == 1
+    assert "no PN peak" in r.stderr
+
+
+def test_tx_app_requires_out():
+    r = run(["ofdm_ls_mrc_tpu.apps.tx_app"])
+    assert r.returncode == 2
