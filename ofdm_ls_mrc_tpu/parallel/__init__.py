@@ -8,6 +8,7 @@ from .mesh import (
     output_sharding,
     pilot_sharding,
 )
+from .multihost import global_from_host_blocks, initialize, make_multihost_mesh
 from .sharded import ShardedUplinkReceiver
 
 __all__ = [
@@ -15,6 +16,9 @@ __all__ = [
     "TIME_AXIS",
     "ShardedUplinkReceiver",
     "frame_sharding",
+    "global_from_host_blocks",
+    "initialize",
+    "make_multihost_mesh",
     "make_mesh",
     "output_sharding",
     "pilot_sharding",

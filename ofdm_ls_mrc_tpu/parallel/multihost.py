@@ -1,0 +1,71 @@
+"""Multi-host (DCN) scaling for long captures.
+
+The reference's only inter-host transport is the radio link + UHD network
+(SURVEY.md section 2 end); it never scales compute past one box.  Here the
+symbol/time axis -- the reference's sequence axis (ShMemSymBuff.hpp:97-106) --
+shards across hosts over DCN via ``jax.distributed``, while the antenna axis
+stays inside each host's ICI domain so the MRC psum never crosses DCN (the
+efficiency cliff flagged in SURVEY.md section 7).
+
+Topology recipe for N hosts x D chips:
+  mesh = make_mesh(ant_shards=D, time_shards=N)   # ant inner = ICI, time outer = DCN
+with each host's ingest process feeding its own time-block through its local
+shm ring (global_from_host_blocks assembles the global array).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..ops.cplx import CArray
+from .mesh import ANT_AXIS, TIME_AXIS
+
+
+def initialize(coordinator_address: Optional[str] = None,
+               num_processes: Optional[int] = None,
+               process_id: Optional[int] = None) -> None:
+    """Bring up jax.distributed for an N-host run.
+
+    Thin wrapper so apps have one entry point; with no args JAX reads the
+    cluster env (TPU pods auto-configure).  Safe to call once per process.
+    """
+    kwargs = {}
+    if coordinator_address is not None:
+        kwargs.update(coordinator_address=coordinator_address,
+                      num_processes=num_processes, process_id=process_id)
+    jax.distributed.initialize(**kwargs)
+
+
+def make_multihost_mesh(ant_shards: Optional[int] = None,
+                        time_shards: Optional[int] = None) -> Mesh:
+    """(ant, time) mesh over all global devices.
+
+    Defaults: antenna axis spans each process's local chips (ICI), time axis
+    spans processes (DCN) -- the layout where the MRC psum stays intra-host.
+    """
+    n_local = jax.local_device_count()
+    n_proc = jax.process_count()
+    ant = ant_shards or n_local
+    time = time_shards or n_proc
+    devs = np.array(jax.devices()[: ant * time]).reshape(time, ant).T
+    return Mesh(devs, (ANT_AXIS, TIME_AXIS))
+
+
+def global_from_host_blocks(local_block: np.ndarray, mesh: Mesh) -> CArray:
+    """Assemble a global time-sharded array from each host's local block.
+
+    Each process contributes its own [S_local, A, F] complex64 block (read
+    from its local ring); the result is a global [S_total, A, F] planar
+    CArray sharded (time, ant, -) without any cross-host data movement.
+    """
+    spec = P(TIME_AXIS, ANT_AXIS, None)
+    sharding = NamedSharding(mesh, spec)
+    re = np.ascontiguousarray(local_block.real, dtype=np.float32)
+    im = np.ascontiguousarray(local_block.imag, dtype=np.float32)
+    gre = jax.make_array_from_process_local_data(sharding, re)
+    gim = jax.make_array_from_process_local_data(sharding, im)
+    return CArray(gre, gim)

@@ -1,0 +1,80 @@
+"""Profiling/tracing utilities (reference C14 + nvprof analogue).
+
+The reference wraps phases in clock() timers and leans on external nvprof
+(gpuLS.cuh:41 includes cuda_profiler_api.h but never calls it).  Here:
+
+* ``trace(logdir)``    -- context manager around ``jax.profiler`` emitting a
+                          TensorBoard-loadable trace of device activity.
+* ``annotate(name)``   -- named trace region (shows up in the trace viewer).
+* ``device_time(fn)``  -- elision-proof on-device timing of a jitted callable
+                          using the repeat-loop differencing method (see
+                          bench.py: async dispatch timing lies on remote
+                          backends; host sync carries a fixed cost that the
+                          R-vs-1 difference cancels).
+"""
+
+from __future__ import annotations
+
+import contextlib
+import time
+from typing import Callable, Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+@contextlib.contextmanager
+def trace(logdir: str):
+    """Capture a jax.profiler device trace into ``logdir``."""
+    jax.profiler.start_trace(logdir)
+    try:
+        yield
+    finally:
+        jax.profiler.stop_trace()
+
+
+def annotate(name: str):
+    """Named region for the trace viewer."""
+    return jax.profiler.TraceAnnotation(name)
+
+
+def device_time(per_item: Callable, items, reps_hi: int = 21,
+                best_of: int = 3) -> float:
+    """Seconds per item of ``per_item`` (a traceable fn CArray/pytree->pytree)
+    applied across ``items`` (a stacked pytree), measured on-device.
+
+    Builds jitted programs that scan ``per_item`` over the items R times with
+    a scalar data dependency between repetitions (so nothing is elided) and
+    returns (t(R_hi) - t(1)) / ((R_hi - 1) * K): fixed dispatch/sync overhead
+    cancels exactly.
+    """
+    leaves = jax.tree_util.tree_leaves(items)
+    k = leaves[0].shape[0]
+
+    def make(reps: int):
+        def prog(its):
+            def rep(_, acc):
+                def body(c, x):
+                    shifted = jax.tree_util.tree_map(
+                        lambda l: l + c if jnp.issubdtype(l.dtype, jnp.floating) else l,
+                        x)
+                    out = per_item(shifted)
+                    s = sum(jnp.sum(l) for l in jax.tree_util.tree_leaves(out))
+                    return c + s * 1e-20, None
+                c, _ = jax.lax.scan(body, acc, its)
+                return c
+            return jax.lax.fori_loop(0, reps, rep, jnp.float32(0.0))
+        return jax.jit(prog)
+
+    def timed(reps: int) -> float:
+        f = make(reps)
+        float(f(items))  # compile + warm
+        best = float("inf")
+        for _ in range(best_of):
+            t0 = time.perf_counter()
+            float(f(items))
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    t1, thi = timed(1), timed(reps_hi)
+    return max(thi - t1, 1e-12) / ((reps_hi - 1) * k)

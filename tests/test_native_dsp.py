@@ -1,0 +1,60 @@
+"""Native C++ golden DSP vs the NumPy oracle."""
+
+import numpy as np
+import pytest
+
+from ofdm_ls_mrc_tpu.golden import dsp
+from ofdm_ls_mrc_tpu.io import native_dsp
+
+
+def crandn(rng, shape):
+    return (rng.standard_normal(shape) + 1j * rng.standard_normal(shape)
+            ).astype(np.complex64)
+
+
+@pytest.mark.parametrize("n", [64, 256, 1024])
+def test_fft_matches_numpy(rng, n):
+    x = crandn(rng, (3, n))
+    got = native_dsp.fft(x)
+    want = np.fft.fft(x, axis=-1)
+    np.testing.assert_allclose(got, want, atol=1e-3 * np.max(np.abs(want)))
+
+
+def test_ifft_unnormalized(rng):
+    n = 128
+    x = crandn(rng, (n,))
+    got = native_dsp.fft(x, inverse=True)
+    np.testing.assert_allclose(got, np.fft.ifft(x) * n, atol=1e-3)
+
+
+def test_estimate_matches_golden(rng):
+    a, f = 8, 256
+    pilot_td = crandn(rng, (a, f))
+    px = np.exp(2j * np.pi * rng.random(f - 1)).astype(np.complex64)
+    hc, hs = native_dsp.estimate_channel(pilot_td, px)
+    want_hc, want_hs = dsp.estimate_channel(pilot_td, px)
+    np.testing.assert_allclose(hc, want_hc, rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(hs, want_hs, rtol=2e-4)
+
+
+def test_demod_frame_matches_golden(rng):
+    s, a, f, cp = 7, 4, 128, 16
+    frame = crandn(rng, (s, a, f + cp))
+    px = np.exp(2j * np.pi * rng.random(f - 1)).astype(np.complex64)
+    got = native_dsp.demod_frame(frame, px, cp)
+    want = dsp.demod_frame(frame, px, cp)
+    np.testing.assert_allclose(got, want, rtol=1e-3, atol=1e-3)
+
+
+def test_modulate_matches_golden(rng):
+    f, cp = 128, 16
+    data = crandn(rng, (f - 1,))
+    got = native_dsp.modulate_symbol(data, cp)
+    want = dsp.modulate_symbol(data, cp)
+    np.testing.assert_allclose(got, want, atol=1e-3)
+
+
+def test_odd_size_dft_fallback(rng):
+    x = crandn(rng, (63,))
+    got = native_dsp.fft(x)
+    np.testing.assert_allclose(got, np.fft.fft(x), atol=1e-3)

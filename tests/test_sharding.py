@@ -80,3 +80,15 @@ def test_indivisible_shards_rejected(rng, devices):
     mesh = make_mesh(3, 1, devices=jax.devices()[:3])
     with pytest.raises(ValueError, match="not divisible"):
         ShardedUplinkReceiver(CFG, pilot, mesh)
+
+
+def test_global_from_host_blocks_single_process(rng, devices):
+    """make_array_from_process_local_data path (single-process simulation)."""
+    from ofdm_ls_mrc_tpu.parallel.multihost import global_from_host_blocks
+    from ofdm_ls_mrc_tpu.parallel import make_mesh
+
+    mesh = make_mesh(2, 4)
+    block = crandn(rng, (8, CFG.num_antennas, CFG.fft_size))
+    g = global_from_host_blocks(block, mesh)
+    assert g.shape == (8, CFG.num_antennas, CFG.fft_size)
+    np.testing.assert_allclose(g.to_numpy(), block, atol=1e-6)
