@@ -53,18 +53,15 @@ def bench_tpu(cfg, pilot, frames: np.ndarray, reps: int) -> float:
 
     import jax
 
-    from ofdm_ls_mrc_tpu.models.uplink import demod_frame_fn
-    from ofdm_ls_mrc_tpu.ops import fft as fft_ops
-    from ofdm_ls_mrc_tpu.ops import ls as ls_ops
     from ofdm_ls_mrc_tpu.ops.cplx import CArray
+    from ofdm_ls_mrc_tpu.ops.fastpath import demod_frame_fast, prepare_pilot_fast
 
     k = frames.shape[0]
     cf = CArray.from_numpy(frames)
     cf = CArray(jax.device_put(cf.re), jax.device_put(cf.im))
-    x_full = ls_ops.pad_pilot(pilot)
-    demod_one = functools.partial(demod_frame_fn, x_full=x_full,
-                                  cp=cfg.cyclic_prefix,
-                                  fft_impl=fft_ops.default_impl())
+    x_perm = prepare_pilot_fast(pilot, cfg.fft_size)
+    demod_one = functools.partial(demod_frame_fast, x_full_perm=x_perm,
+                                  cp=cfg.cyclic_prefix)
 
     def timed(r):
         f = _make_repeated(demod_one, cf, r)

@@ -25,6 +25,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..config import FrameConfig
+from ..ops import fastpath
 from ..ops import fft as fft_ops
 from ..ops import ls as ls_ops
 from ..ops import mrc as mrc_ops
@@ -39,7 +40,7 @@ def _as_carray(x: FrameLike) -> CArray:
 
 
 def demod_frame_fn(frame: CArray, x_full: CArray, *, cp: int,
-                   fft_impl: str) -> CArray:
+                   fft_impl: str) -> CArray:  # composed reference pipeline
     """Whole-frame demod: symbol 0 is the pilot, the rest are data.
 
     Args:
@@ -86,13 +87,20 @@ class UplinkReceiver:
     """
 
     def __init__(self, cfg: FrameConfig, pilot_x: np.ndarray,
-                 fft_impl: Optional[str] = None, donate: bool = False):
+                 fft_impl: Optional[str] = None, donate: bool = False,
+                 pipeline: str = "fast"):
+        """pipeline: 'fast' routes demod_frame through ops.fastpath (permuted-
+        order transpose-free four-step + Karatsuba GEMMs, ~35% faster on v5e);
+        'composed' uses the plain ops composition (reference for testing).
+        The split-phase estimate/demod_data API always uses the composed ops
+        (its estimates are interchangeable across frames)."""
         cfg.validate()
         if pilot_x.shape[-1] != cfg.num_subcarriers:
             raise ValueError(
                 f"pilot has {pilot_x.shape[-1]} bins, config wants {cfg.num_subcarriers}")
         self.cfg = cfg
         self.fft_impl = fft_impl or fft_ops.default_impl()
+        self.pipeline = pipeline
         self.x_full = ls_ops.pad_pilot(pilot_x)
 
         # Donation is off by default: every output here is strictly smaller
@@ -100,8 +108,15 @@ class UplinkReceiver:
         # a donated buffer -- it only emits warnings.
         kw = dict(cp=cfg.cyclic_prefix, fft_impl=self.fft_impl)
         donate_args = (0,) if donate else ()
-        self._demod_frame = jax.jit(
-            functools.partial(demod_frame_fn, **kw), donate_argnums=donate_args)
+        if pipeline == "fast" and self.fft_impl != "xla":
+            x_perm = fastpath.prepare_pilot_fast(pilot_x, cfg.fft_size)
+            self._demod_frame = jax.jit(functools.partial(
+                fastpath.demod_frame_fast, x_full_perm=x_perm,
+                cp=cfg.cyclic_prefix), donate_argnums=donate_args)
+        else:
+            self._demod_frame = jax.jit(
+                functools.partial(demod_frame_fn, x_full=self.x_full, **kw),
+                donate_argnums=donate_args)
         self._estimate = jax.jit(functools.partial(estimate_fn, **kw))
         self._demod_data = jax.jit(
             functools.partial(demod_data_fn, **kw), donate_argnums=donate_args)
@@ -109,7 +124,7 @@ class UplinkReceiver:
     # -- whole-frame path (analog of demodOptimized, gpuLS.cu:677-769) ------
     def demod_frame(self, frame: FrameLike) -> CArray:
         """[S, A, F+cp] -> [S-1, F-1] demodulated data symbols."""
-        return self._demod_frame(_as_carray(frame), self.x_full)
+        return self._demod_frame(_as_carray(frame))
 
     # -- split-phase path (analog of firstVector + demodOneSymbol) ----------
     def estimate_channel(self, pilot_sym: FrameLike) -> Tuple[CArray, jax.Array]:
