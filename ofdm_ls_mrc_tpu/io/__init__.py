@@ -2,6 +2,7 @@
 
 from .feed import FrameAssembler, RingFeed
 from .ring import RingError, RingShutdown, RingTimeout, SymbolRing
+from .state import load_estimate, save_estimate
 
 __all__ = [
     "FrameAssembler",
@@ -10,4 +11,6 @@ __all__ = [
     "RingShutdown",
     "RingTimeout",
     "SymbolRing",
+    "load_estimate",
+    "save_estimate",
 ]

@@ -98,6 +98,22 @@ class StreamingDemodulator:
             return out
         return self._demod(c, self._hconj, self._hsqrd)
 
+    # -- state persistence (checkpoint/resume; io/state.py) ------------------
+    def save_state(self, path: str, frame_index: int = 0) -> None:
+        """Persist the current channel estimate for restart-resume."""
+        if self._hconj is None:
+            raise RuntimeError("no channel estimate to save")
+        from ..io.state import save_estimate
+
+        save_estimate(path, self.cfg, self._hconj, self._hsqrd, frame_index)
+
+    def resume(self, path: str) -> int:
+        """Restore a saved estimate; returns the stored frame index."""
+        from ..io.state import load_estimate
+
+        self._hconj, self._hsqrd, idx = load_estimate(path, self.cfg)
+        return idx
+
     def warmup(self) -> None:
         a, n = self.cfg.num_antennas, self.cfg.symbol_len
         self.push_pilot(np.ones((a, n), np.complex64))

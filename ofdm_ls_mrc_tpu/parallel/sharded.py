@@ -23,6 +23,7 @@ import numpy as np
 from jax.sharding import Mesh, PartitionSpec as P
 
 from ..config import FrameConfig
+from ..ops import fastpath
 from ..ops import fft as fft_ops
 from ..ops import ls as ls_ops
 from ..ops import mrc as mrc_ops
@@ -61,6 +62,32 @@ def _sharded_demod_local(pilot: CArray, data: CArray, x_full: CArray,
     return mrc_ops.finalize(eq)
 
 
+def _sharded_demod_local_fast(pilot: CArray, data: CArray, x_perm: CArray,
+                              *, cp: int) -> CArray:
+    """Fast-path shard body: permuted-order FFT+LS+MRC with one fused psum.
+
+    Identical collective structure to _sharded_demod_local but runs the
+    transpose-free permuted-order pipeline (ops/fastpath) per shard; the
+    edge gather to reference order happens after the psum.
+    """
+    yp = fastpath.fft_permuted(drop_cyclic_prefix(pilot, cp))   # [A_l, F] perm
+    denom = 1.0 / x_perm.abs2()
+    hre = (yp.re * x_perm.re + yp.im * x_perm.im) * denom
+    him = (yp.im * x_perm.re - yp.re * x_perm.im) * denom
+    hsq_local = jnp.sum(hre * hre + him * him, axis=0)
+
+    yd = fastpath.fft_permuted(drop_cyclic_prefix(data, cp))    # [S_l, A_l, F]
+    num_re_l = jnp.sum(yd.re * hre[None] + yd.im * him[None], axis=1)
+    num_im_l = jnp.sum(yd.im * hre[None] - yd.re * him[None], axis=1)
+
+    num_re, num_im, hsqrd = jax.lax.psum((num_re_l, num_im_l, hsq_local),
+                                         ANT_AXIS)
+    inv = 1.0 / hsqrd
+    f = data.shape[-1] - cp
+    idx = jnp.asarray(fastpath._edge_gather(f))
+    return CArray((num_re * inv[None])[:, idx], (num_im * inv[None])[:, idx])
+
+
 class ShardedUplinkReceiver:
     """Uplink receiver sharded over an (ant, time) mesh.
 
@@ -74,12 +101,14 @@ class ShardedUplinkReceiver:
     """
 
     def __init__(self, cfg: FrameConfig, pilot_x: np.ndarray, mesh: Mesh,
-                 fft_impl: Optional[str] = None):
+                 fft_impl: Optional[str] = None, pipeline: str = "fast"):
         cfg.validate()
         self.cfg = cfg
         self.mesh = mesh
         self.fft_impl = fft_impl or fft_ops.default_impl()
-        self.x_full = ls_ops.pad_pilot(pilot_x)
+        self.pipeline = pipeline
+        self.x_full = (fastpath.prepare_pilot_fast(pilot_x, cfg.fft_size)
+                       if pipeline == "fast" else ls_ops.pad_pilot(pilot_x))
 
         n_ant = mesh.shape[ANT_AXIS]
         n_time = mesh.shape[TIME_AXIS]
@@ -90,9 +119,13 @@ class ShardedUplinkReceiver:
             raise ValueError(f"{cfg.num_data_symbols} data symbols not divisible "
                              f"by {n_time} time shards")
 
-        body = functools.partial(
-            _sharded_demod_local, cp=cfg.cyclic_prefix, fft_impl=self.fft_impl,
-            n_ant_shards=n_ant)
+        if pipeline == "fast":
+            body = functools.partial(_sharded_demod_local_fast,
+                                     cp=cfg.cyclic_prefix)
+        else:
+            body = functools.partial(
+                _sharded_demod_local, cp=cfg.cyclic_prefix,
+                fft_impl=self.fft_impl, n_ant_shards=n_ant)
         mapped = jax.shard_map(
             body,
             mesh=mesh,

@@ -6,6 +6,7 @@ handshake -- plus what the reference never tests: timeouts instead of
 infinite spins, overrun accounting, and a threaded producer/consumer soak.
 """
 
+import os
 import threading
 import uuid
 
@@ -213,3 +214,16 @@ def _xproc_producer(uid, n, rows, cols, length):
     for k in range(n):
         w.write(np.full((rows, cols), float(k) + 1j, np.complex64), wait=True)
     w.close()
+
+
+def test_tsan_soak():
+    """Run the C++ producer/consumer soak under ThreadSanitizer: the ring's
+    atomic head/tail protocol must be race-free (the reference's plain-int
+    cursors would be flagged immediately)."""
+    import subprocess
+    repo = os.path.abspath(os.path.join(os.path.dirname(__file__), ".."))
+    r = subprocess.run(["make", "-s", "-C", os.path.join(repo, "native"),
+                        "tsan_test"], capture_output=True, text=True, timeout=120)
+    assert r.returncode == 0, r.stdout + r.stderr
+    assert "ring_test OK" in r.stdout
+    assert "WARNING: ThreadSanitizer" not in r.stderr
