@@ -197,11 +197,11 @@ class TestCrossProcess:
 
         p = ctx.Process(target=_xproc_producer, args=(uid, n, ROWS, COLS, LEN))
         p.start()
-        r = SymbolRing(uid, ROWS, COLS, LEN, master=False, timeout=20.0)
+        r = SymbolRing(uid, ROWS, COLS, LEN, master=False, timeout=90.0)
         vals = []
         for k in range(n):
             vals.append(r.read_next(cp=0)[0, 0].real)
-        p.join(timeout=30)
+        p.join(timeout=90)
         assert p.exitcode == 0
         np.testing.assert_array_equal(np.array(vals), np.arange(n, dtype=np.float32))
         r.close()
@@ -210,7 +210,7 @@ class TestCrossProcess:
 def _xproc_producer(uid, n, rows, cols, length):
     import numpy as np
     from ofdm_ls_mrc_tpu.io.ring import SymbolRing
-    w = SymbolRing(uid, rows, cols, length, master=True, timeout=20.0)
+    w = SymbolRing(uid, rows, cols, length, master=True, timeout=90.0)
     for k in range(n):
         w.write(np.full((rows, cols), float(k) + 1j, np.complex64), wait=True)
     w.close()
