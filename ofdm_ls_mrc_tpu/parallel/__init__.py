@@ -10,10 +10,12 @@ from .mesh import (
 )
 from .multihost import global_from_host_blocks, initialize, make_multihost_mesh
 from .sharded import ShardedUplinkReceiver
+from .sharded_downlink import ShardedDownlinkTransmitter
 
 __all__ = [
     "ANT_AXIS",
     "TIME_AXIS",
+    "ShardedDownlinkTransmitter",
     "ShardedUplinkReceiver",
     "frame_sharding",
     "global_from_host_blocks",

@@ -82,6 +82,58 @@ def test_indivisible_shards_rejected(rng, devices):
         ShardedUplinkReceiver(CFG, pilot, mesh)
 
 
+class TestShardedDownlink:
+    """Subcarrier-sharded ZF precode + row-sharded modulate vs the golden."""
+
+    def test_precode_matches_golden(self, rng, devices):
+        from ofdm_ls_mrc_tpu.parallel import ShardedDownlinkTransmitter
+
+        cfg = CFG
+        users, ants, subs = 4, cfg.num_antennas, cfg.num_subcarriers
+        h = crandn(rng, (subs, users, ants))
+        x = crandn(rng, (users, subs))
+        tx = ShardedDownlinkTransmitter(cfg, make_mesh(4, 2))
+        got = tx.precode(h, x).to_numpy()
+        want = dsp.apply_precoder(dsp.zf_precoder(h), x)
+        np.testing.assert_allclose(got, want, rtol=2e-3, atol=2e-3)
+
+    def test_precode_zero_forces_interference(self, rng, devices):
+        """h @ precoded == user symbols exactly (the ZF property), per subcarrier."""
+        from ofdm_ls_mrc_tpu.parallel import ShardedDownlinkTransmitter
+
+        cfg = CFG
+        users, ants, subs = 2, cfg.num_antennas, cfg.num_subcarriers
+        h = crandn(rng, (subs, users, ants))
+        x = crandn(rng, (users, subs))
+        tx = ShardedDownlinkTransmitter(cfg, make_mesh(2, 4))
+        ant_streams = tx.precode(h, x).to_numpy()          # [A, S']
+        rx_users = np.einsum("sua,as->us", h, ant_streams)
+        np.testing.assert_allclose(rx_users, x, rtol=5e-3, atol=5e-3)
+
+    def test_modulate_matches_golden(self, rng, devices):
+        from ofdm_ls_mrc_tpu.parallel import ShardedDownlinkTransmitter
+
+        cfg = CFG
+        data = crandn(rng, (cfg.num_antennas, cfg.num_subcarriers))
+        tx = ShardedDownlinkTransmitter(cfg, make_mesh(4, 2), fft_impl="four_step")
+        got = tx.modulate(data).to_numpy()
+        want = dsp.modulate_symbol(data, cp=cfg.cyclic_prefix)
+        np.testing.assert_allclose(got, want, rtol=3e-3, atol=3e-3)
+
+    def test_precode_output_stays_sharded(self, rng, devices):
+        """With a divisible subcarrier count (no pad/trim), the antenna-stream
+        result keeps its subcarrier sharding -- no gather until the host asks."""
+        from ofdm_ls_mrc_tpu.parallel import ShardedDownlinkTransmitter
+
+        cfg = CFG
+        subs = 64  # divisible by the 4-device mesh: the edge slice is a no-op
+        h = crandn(rng, (subs, 2, cfg.num_antennas))
+        x = crandn(rng, (2, subs))
+        tx = ShardedDownlinkTransmitter(cfg, make_mesh(2, 2, devices=jax.devices()[:4]))
+        out = tx.precode(h, x)
+        assert not out.re.sharding.is_fully_replicated
+
+
 def test_global_from_host_blocks_single_process(rng, devices):
     """make_array_from_process_local_data path (single-process simulation)."""
     from ofdm_ls_mrc_tpu.parallel.multihost import global_from_host_blocks
