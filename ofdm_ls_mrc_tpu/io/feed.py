@@ -65,7 +65,8 @@ class RingFeed:
     """
 
     def __init__(self, ring: SymbolRing, cfg: FrameConfig,
-                 timer: Optional[PhaseTimer] = None, depth: int = 2):
+                 timer: Optional[PhaseTimer] = None, depth: int = 2,
+                 catch_up: bool = False):
         if ring.cols != cfg.symbol_len:
             raise ValueError(f"ring cols {ring.cols} != symbol_len {cfg.symbol_len}")
         if ring.rows != cfg.num_antennas:
@@ -73,6 +74,14 @@ class RingFeed:
         self.ring = ring
         self.cfg = cfg
         self.timer = timer
+        # Real-time mode: when the consumer falls behind, skip whole queued
+        # frames and resume at the freshest frame boundary -- the frame-level
+        # analogue of the reference's readLastSymbol path (gpuLS.cu:419-424
+        # reads the LATEST symbol for every data symbol after the first,
+        # silently dropping backlog).  Skipping in frame_len multiples keeps
+        # pilot/data alignment; skipped_frames counts what was dropped.
+        self.catch_up = catch_up
+        self.skipped_frames = 0
         self._buffers = [FrameAssembler(cfg) for _ in range(depth)]
         self._ready: "queue.Queue" = queue.Queue(maxsize=depth - 1 or 1)
         self._free: "queue.Queue" = queue.Queue()
@@ -91,6 +100,15 @@ class RingFeed:
                 if buf is None:  # stop() sentinel
                     return
                 buf.reset()
+                if self.catch_up:
+                    # Leave the freshest (possibly partial) frame in the ring
+                    # and discard everything older, one whole frame at a time.
+                    fl = self.cfg.frame_len
+                    behind = (self.ring.available // fl) - 1
+                    for _ in range(max(0, behind) * fl):
+                        self.ring.read_next_planar(cp=0)
+                    if behind > 0:
+                        self.skipped_frames += behind
                 for slot in range(self.cfg.frame_len):
                     if self.timer:
                         with self.timer.phase("read", slot):

@@ -207,6 +207,56 @@ class TestCrossProcess:
         r.close()
 
 
+class TestCatchUpFeed:
+    def test_feed_skips_stale_frames(self, rng):
+        """catch_up=True drops whole queued frames and resumes at the freshest
+        boundary (frame-level readLastSymbol semantics, gpuLS.cu:419-424)."""
+        from ofdm_ls_mrc_tpu import FrameConfig
+        from ofdm_ls_mrc_tpu.io.feed import RingFeed
+
+        cfg = FrameConfig(num_antennas=ROWS, fft_size=COLS, cyclic_prefix=0,
+                          frame_len=3)
+        uid = _uid()
+        cap = 4 * cfg.frame_len  # room for 4 whole frames
+        w = SymbolRing(uid, ROWS, COLS, cap, master=True, timeout=10.0)
+        r = SymbolRing(uid, ROWS, COLS, cap, master=False, timeout=10.0)
+        try:
+            # Producer races ahead: 3 full frames queued before any read.
+            for k in range(3):
+                for s in range(cfg.frame_len):
+                    w.write(np.full((ROWS, COLS), float(k) + 1j * s, np.complex64))
+            feed = RingFeed(r, cfg, catch_up=True)
+            frame = next(feed.frames(max_frames=1))
+            # Frames 0 and 1 skipped; delivered frame is the freshest (k=2).
+            assert feed.skipped_frames == 2
+            assert float(np.asarray(frame.re)[0, 0, 0]) == 2.0
+            feed.stop()
+        finally:
+            r.close()
+            w.close()
+
+    def test_feed_no_skip_when_keeping_up(self, rng):
+        from ofdm_ls_mrc_tpu import FrameConfig
+        from ofdm_ls_mrc_tpu.io.feed import RingFeed
+
+        cfg = FrameConfig(num_antennas=ROWS, fft_size=COLS, cyclic_prefix=0,
+                          frame_len=3)
+        uid = _uid()
+        w = SymbolRing(uid, ROWS, COLS, 2 * cfg.frame_len, master=True, timeout=10.0)
+        r = SymbolRing(uid, ROWS, COLS, 2 * cfg.frame_len, master=False, timeout=10.0)
+        try:
+            for s in range(cfg.frame_len):
+                w.write(np.full((ROWS, COLS), 7.0 + 1j * s, np.complex64))
+            feed = RingFeed(r, cfg, catch_up=True)
+            frame = next(feed.frames(max_frames=1))
+            assert feed.skipped_frames == 0
+            assert float(np.asarray(frame.re)[0, 0, 0]) == 7.0
+            feed.stop()
+        finally:
+            r.close()
+            w.close()
+
+
 def _xproc_producer(uid, n, rows, cols, length):
     import numpy as np
     from ofdm_ls_mrc_tpu.io.ring import SymbolRing
