@@ -1,0 +1,82 @@
+"""Worker process for the 2-process jax.distributed multihost test.
+
+Launched by tests/test_multihost.py with env:
+  MH_COORD=127.0.0.1:<port>  MH_NPROC=2  MH_PID=<0|1>
+Each process owns 4 virtual CPU devices (one per 'chip'); the (ant=4, time=2)
+mesh puts the MRC psum inside each process and shards time across processes --
+the exact topology recipe from parallel/multihost.py.
+"""
+
+import os
+import sys
+
+os.environ["JAX_PLATFORMS"] = "cpu"
+flags = os.environ.get("XLA_FLAGS", "")
+if "host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=4").strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+
+import numpy as np  # noqa: E402
+
+
+def main() -> int:
+    from ofdm_ls_mrc_tpu import FrameConfig
+    from ofdm_ls_mrc_tpu.golden import dsp
+    from ofdm_ls_mrc_tpu.parallel import ShardedUplinkReceiver
+    from ofdm_ls_mrc_tpu.parallel.multihost import (
+        global_from_host_blocks,
+        initialize,
+        make_multihost_mesh,
+    )
+
+    pid = int(os.environ["MH_PID"])
+    initialize(coordinator_address=os.environ["MH_COORD"],
+               num_processes=int(os.environ["MH_NPROC"]), process_id=pid)
+    assert jax.process_count() == 2, jax.process_count()
+    assert jax.local_device_count() == 4
+
+    cfg = FrameConfig(num_antennas=4, fft_size=64, cyclic_prefix=8, frame_len=9)
+    rng = np.random.default_rng(123)  # same seed everywhere: shared truth
+    pilot = np.exp(2j * np.pi * rng.random(cfg.num_subcarriers)).astype(np.complex64)
+    frame = (rng.standard_normal((cfg.frame_len, cfg.num_antennas, cfg.symbol_len))
+             + 1j * rng.standard_normal((cfg.frame_len, cfg.num_antennas,
+                                         cfg.symbol_len))).astype(np.complex64)
+    want = dsp.demod_frame(frame, pilot, cfg.cyclic_prefix)
+
+    mesh = make_multihost_mesh()            # (ant=4 local, time=2 processes)
+    rx = ShardedUplinkReceiver(cfg, pilot, mesh, fft_impl="four_step")
+
+    # Each process contributes only ITS time-block of the data symbols (as if
+    # read from its local shm ring) -- no host ever holds the whole capture.
+    data = frame[1:]
+    s_local = data.shape[0] // 2
+    local = data[pid * s_local:(pid + 1) * s_local]
+    gdata = global_from_host_blocks(local, mesh)
+
+    # Pilot is replicated over time (every host's radio sees the pilot).
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from ofdm_ls_mrc_tpu.ops.cplx import CArray
+    ps = NamedSharding(mesh, P("ant", None))
+    pre = np.ascontiguousarray(frame[0].real, np.float32)
+    pim = np.ascontiguousarray(frame[0].imag, np.float32)
+    gpilot = CArray(jax.make_array_from_process_local_data(ps, pre),
+                    jax.make_array_from_process_local_data(ps, pim))
+
+    out = rx.demod_pilot_data(gpilot, gdata)
+    # Output is time-sharded: this process's local shards hold its block.
+    shard = out.re.addressable_shards[0]
+    got_re = np.asarray(shard.data)
+    got_im = np.asarray(out.im.addressable_shards[0].data)
+    got = got_re + 1j * got_im
+    want_local = want[pid * s_local:(pid + 1) * s_local]
+    err = np.max(np.abs(got - want_local)) / max(np.max(np.abs(want_local)), 1e-9)
+    print(f"[proc {pid}] rel err vs golden: {err:.2e}", flush=True)
+    assert err < 3e-3, err
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

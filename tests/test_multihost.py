@@ -1,0 +1,50 @@
+"""Real multi-process jax.distributed test: 2 'hosts' x 4 virtual chips.
+
+The reference never scales compute past one box (SURVEY.md section 2: its
+only inter-host transport is the radio link).  This test runs the framework's
+actual DCN story end to end: two OS processes initialize jax.distributed
+against a local coordinator, build the (ant, time) mesh with antennas inside
+each process and time-blocks across processes, feed process-local data via
+``global_from_host_blocks`` (jax.make_array_from_process_local_data), and
+each process checks its own time-block against the NumPy golden.
+"""
+
+import os
+import socket
+import subprocess
+import sys
+
+REPO = os.path.abspath(os.path.join(os.path.dirname(__file__), ".."))
+
+
+def _free_port() -> int:
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        return s.getsockname()[1]
+
+
+def test_two_process_distributed_demod():
+    port = _free_port()
+    env_base = {k: v for k, v in os.environ.items()
+                if k not in ("XLA_FLAGS", "JAX_PLATFORMS")}
+    env_base["PYTHONPATH"] = REPO + os.pathsep + env_base.get("PYTHONPATH", "")
+    procs = []
+    for pid in range(2):
+        env = dict(env_base, MH_COORD=f"127.0.0.1:{port}", MH_NPROC="2",
+                   MH_PID=str(pid))
+        procs.append(subprocess.Popen(
+            [sys.executable, os.path.join(REPO, "tests", "_mh_worker.py")],
+            env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+            text=True))
+    outs = []
+    for p in procs:
+        try:
+            out, _ = p.communicate(timeout=240)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            raise
+        outs.append(out)
+    for pid, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"proc {pid} failed:\n{out}"
+        assert "rel err vs golden" in out
