@@ -47,21 +47,28 @@ def _make_repeated(demod_one, frames_c, reps: int):
     return jax.jit(prog)
 
 
-def bench_tpu(cfg, pilot, frames: np.ndarray, reps: int) -> float:
+def bench_tpu(cfg, pilot, frames: np.ndarray, reps: int,
+              pipeline: str = "fused") -> float:
     """Seconds per frame for the jitted whole-frame pipeline on-device."""
     import functools
 
     import jax
 
     from ofdm_ls_mrc_tpu.ops.cplx import CArray
-    from ofdm_ls_mrc_tpu.ops.fastpath import demod_frame_fast, prepare_pilot_fast
+    from ofdm_ls_mrc_tpu.ops.fastpath import (_fast_split, demod_frame_fast,
+                                              prepare_pilot_fast)
 
     k = frames.shape[0]
     cf = CArray.from_numpy(frames)
     cf = CArray(jax.device_put(cf.re), jax.device_put(cf.im))
     x_perm = prepare_pilot_fast(pilot, cfg.fft_size)
-    demod_one = functools.partial(demod_frame_fast, x_full_perm=x_perm,
-                                  cp=cfg.cyclic_prefix)
+    if pipeline == "fused" and _fast_split(cfg.fft_size) == (8, 128):
+        from ofdm_ls_mrc_tpu.ops.pallas_pipeline import demod_frame_fused
+        demod_one = functools.partial(demod_frame_fused, x_full_perm=x_perm,
+                                      cp=cfg.cyclic_prefix)
+    else:
+        demod_one = functools.partial(demod_frame_fast, x_full_perm=x_perm,
+                                      cp=cfg.cyclic_prefix)
 
     def timed(r):
         f = _make_repeated(demod_one, cf, r)
@@ -104,6 +111,9 @@ def main():
     ap.add_argument("--symbols", type=int, default=101)
     ap.add_argument("--precision", default="high",
                     choices=["default", "high", "highest"])
+    ap.add_argument("--pipeline", default="fused", choices=["fused", "fast"],
+                    help="fused = whole-pipeline Pallas kernel (fp32-grade "
+                         "bf16-split dots); fast = XLA fastpath at --precision")
     args = ap.parse_args()
 
     from ofdm_ls_mrc_tpu import FrameConfig
@@ -122,7 +132,7 @@ def main():
 
     samples_per_frame = cfg.frame_len * cfg.num_antennas * cfg.symbol_len
 
-    t_tpu = bench_tpu(cfg, pilot, frames, args.reps)
+    t_tpu = bench_tpu(cfg, pilot, frames, args.reps, pipeline=args.pipeline)
     t_gold = bench_golden(cfg, pilot, frames[0], args.golden_reps)
 
     sps = samples_per_frame / t_tpu

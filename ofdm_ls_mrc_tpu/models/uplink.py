@@ -89,11 +89,14 @@ class UplinkReceiver:
     def __init__(self, cfg: FrameConfig, pilot_x: np.ndarray,
                  fft_impl: Optional[str] = None, donate: bool = False,
                  pipeline: str = "fast"):
-        """pipeline: 'fast' routes demod_frame through ops.fastpath (permuted-
-        order transpose-free four-step + Karatsuba GEMMs, ~35% faster on v5e);
+        """pipeline: 'fused' routes demod_frame through the whole-pipeline
+        Pallas kernel (ops/pallas_pipeline -- VMEM-resident FFT+MRC, fastest
+        on v5e at the 1024-point reference geometry); 'fast' uses the XLA
+        fastpath (permuted-order transpose-free four-step + Karatsuba GEMMs);
         'composed' uses the plain ops composition (reference for testing).
-        The split-phase estimate/demod_data API always uses the composed ops
-        (its estimates are interchangeable across frames)."""
+        'fused' silently falls back to 'fast' when the FFT size has no
+        (8, 128) split.  The split-phase estimate/demod_data API always uses
+        the composed ops (its estimates are interchangeable across frames)."""
         cfg.validate()
         if pilot_x.shape[-1] != cfg.num_subcarriers:
             raise ValueError(
@@ -108,7 +111,16 @@ class UplinkReceiver:
         # a donated buffer -- it only emits warnings.
         kw = dict(cp=cfg.cyclic_prefix, fft_impl=self.fft_impl)
         donate_args = (0,) if donate else ()
-        if pipeline == "fast" and self.fft_impl != "xla":
+        from ..ops.fastpath import _fast_split
+        if pipeline == "fused" and _fast_split(cfg.fft_size) != (8, 128):
+            pipeline = self.pipeline = "fast"
+        if pipeline == "fused" and self.fft_impl != "xla":
+            from ..ops import pallas_pipeline
+            x_perm = fastpath.prepare_pilot_fast(pilot_x, cfg.fft_size)
+            self._demod_frame = jax.jit(functools.partial(
+                pallas_pipeline.demod_frame_fused, x_full_perm=x_perm,
+                cp=cfg.cyclic_prefix), donate_argnums=donate_args)
+        elif pipeline == "fast" and self.fft_impl != "xla":
             x_perm = fastpath.prepare_pilot_fast(pilot_x, cfg.fft_size)
             self._demod_frame = jax.jit(functools.partial(
                 fastpath.demod_frame_fast, x_full_perm=x_perm,

@@ -77,11 +77,11 @@ def _cgemm_kara(xre, xim, consts, spec: str, precision) -> Tuple[jnp.ndarray, jn
     return t1 - t3, t1 + t2
 
 
-def fft_permuted(x: CArray, precision=None) -> CArray:
-    """Four-step FFT with output left in [.., k1*N2 + k2] permuted order.
+def stage1_twiddled(x: CArray, precision=None) -> CArray:
+    """First four-step stage + twiddle, output [.., k1, i2] flattened to [.., F].
 
-    Input  [..., F]; output [..., F] where position k1*N2+k2 holds true
-    frequency N1*k2+k1 (perm tables in pallas_mrc._perm_tables).
+    Natural k1 order; feed to the stage-2 GEMM (here or in the Pallas
+    stage-2+MRC kernel, ops/pallas_pipeline.fused_stage2).
     """
     from . import fft as fft_mod
 
@@ -100,11 +100,26 @@ def fft_permuted(x: CArray, precision=None) -> CArray:
     twim = jnp.asarray(np.ascontiguousarray(tw.imag), jnp.float32)
     bre = are * twre - aim * twim
     bim = are * twim + aim * twre
+    return CArray(bre.reshape(x.shape), bim.reshape(x.shape))
+
+
+def fft_permuted(x: CArray, precision=None) -> CArray:
+    """Four-step FFT with output left in [.., k1*N2 + k2] permuted order.
+
+    Input  [..., F]; output [..., F] where position k1*N2+k2 holds true
+    frequency N1*k2+k1 (perm tables in pallas_mrc._perm_tables).
+    """
+    from . import fft as fft_mod
+
+    precision = precision or fft_mod._PRECISION
+    n = x.shape[-1]
+    n1, n2 = _fast_split(n)
+    b = stage1_twiddled(x, precision)
+    bs = b.reshape(b.shape[:-1] + (n1, n2))
     # Stage 2: contract i2 (the LANE dim -- a standard GEMM) -> [.., k1, k2].
-    cre, cim = _cgemm_kara(bre, bim, _karatsuba_consts(n2, -1.0),
+    cre, cim = _cgemm_kara(bs.re, bs.im, _karatsuba_consts(n2, -1.0),
                            "...kj,jm->...km", precision)
-    out_shape = x.shape
-    return CArray(cre.reshape(out_shape), cim.reshape(out_shape))
+    return CArray(cre.reshape(x.shape), cim.reshape(x.shape))
 
 
 @functools.lru_cache(maxsize=None)

@@ -108,17 +108,24 @@ def _fused_kernel(yre_ref, yim_ref, hre_ref, him_ref, hsqinv_ref,
 
 def _choose_tiles(a: int, f: int) -> Tuple[int, int]:
     """(ts, ac): symbol tile x antenna chunk, sized so the fp32-HIGHEST dot
-    temporaries ([ts*ac, n1, n2] x ~10 live copies) stay well inside the
-    16 MB scoped-VMEM limit."""
+    temporaries stay inside the 16 MB scoped-VMEM limit.  Mosaic's HIGHEST
+    dot expands each operand into multiple split-precision passes with a
+    super-linear VMEM footprint (measured on v5e at f=1024: ts*ac = 128
+    demands 42 MB, ts*ac = 16 still OOMs, ts=2 x ac=4 compiles), so the
+    chunk is capped at ts*ac*f <= 8192 elements with the antenna chunk
+    bounded first (wide ac shapes OOM before tall ts ones)."""
     ts = 8
-    ac = a
-    while ac > 1 and ts * ac * f * 4 * 2 * 10 > 6 * 2**20:
+    ac = min(a, 4)
+    while ts > 1 and ts * ac * f > 8 * 1024:
+        ts //= 2
+    while ac > 1 and ts * ac * f > 8 * 1024:
         ac //= 2
     return ts, ac
 
 
 def fused_demod(y: CArray, hconj: CArray, hsqrd: jnp.ndarray,
-                interpret: bool = False) -> CArray:
+                interpret: bool = False,
+                tiles: Tuple[int, int] | None = None) -> CArray:
     """Fused FFT+MRC over a data block.
 
     Args:
@@ -139,7 +146,7 @@ def fused_demod(y: CArray, hconj: CArray, hsqrd: jnp.ndarray,
     perm_j = jnp.asarray(perm)
     inv_j = jnp.asarray(inv)
 
-    ts, ac = _choose_tiles(a, f)
+    ts, ac = tiles if tiles is not None else _choose_tiles(a, f)
     s_pad = ((s + ts - 1) // ts) * ts
     yre, yim = y.re, y.im
     if s_pad != s:

@@ -1,0 +1,326 @@
+"""Whole-pipeline Pallas kernel: FFT + MRC per symbol tile, VMEM-resident.
+
+Why this exists: at fp32-accurate (HIGH) matmul precision the XLA fast path
+(ops/fastpath.py) is HBM-bound -- each Karatsuba GEMM pass of the FFT's
+second stage round-trips a ~13 MB [rows, 128] operand through HBM, and the
+FFT'd frame is materialized again before the MRC reduce.  Measured on v5e:
+~88 us/frame for 16 ant x 1024 FFT x 101 symbols, of which ~55 us is stage-2
+traffic.  This kernel streams [ts, A, F] symbol tiles through VMEM and does
+stage-1 butterflies, twiddle, stage-2 GEMMs, channel multiply, antenna
+reduction and normalization before anything returns to HBM: traffic drops to
+the input read + a [ts, F] output write (~15 MB/frame total).
+
+It is the TPU-native analogue of the reference's fused frame path
+(demodOptimized, gpuLS.cu:677-769) -- cuFFT + three global-memory kernels
+there, ONE VMEM-resident kernel here.
+
+Numerics: Mosaic's fp32 dot (HIGHEST) expands operands so aggressively that
+real tile sizes blow the 16 MB scoped-VMEM limit (see ops/pallas_mrc.py),
+so the stage-2 GEMMs use a manual bf16 split -- x ~ hi(x) + lo(x), each
+bf16, with the hi*hi + lo*hi + hi*lo cross products accumulated in fp32 on
+the MXU (the same scheme as XLA's Precision.HIGH, under our control).
+Because the MXU is dispatch-bound at these shapes, the four real products
+of the complex GEMM share ONE [4M, n2] x [n2, 2*n2] dot against the
+lane-concatenated [Wr | Wi] matrix plus one [2M, n2] lo-correction dot --
+2 dots per tile instead of Karatsuba's 9 (measured: 44 us -> ~15 us of
+stage-2 time per 100-symbol frame).  End-to-end error vs the NumPy golden:
+~4e-6 relative (fp32-grade; DEFAULT bf16 would be ~1e-2).
+
+Layout (fastpath order, n1 = F/128, n2 = 128): input [S, A, n1, n2] is a
+free host-side reshape; within the kernel only leading dims are merged or
+split, so the tiled (sublane, lane) = (n1-multiple, 128) layout never
+changes.  The kernel's output stays in the fastpath's permuted frequency
+order ([k1, k2], true frequency n1*k2 + k1); the caller folds the inverse
+permutation into the DC-drop + ifftshift edge gather exactly as
+fastpath.demod_frame_fast does.
+
+Stage 1 (the n1-point DFT along k1) is done on the VPU as an unrolled
+radix-2 butterfly network -- an 8-point DFT is 20 complex add/subs plus two
+sqrt(2)/2 twiddles, far cheaper than an 8-deep MXU contraction that would
+use 6% of the systolic array.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .cplx import CArray
+from .fastpath import _fast_split
+from .fft import _twiddle
+
+
+def _split_bf16_const(m: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
+    """Host-side two-term bf16 split of an fp32 constant matrix."""
+    import ml_dtypes
+    hi = m.astype(ml_dtypes.bfloat16)
+    lo = (m.astype(np.float32) - hi.astype(np.float32)).astype(ml_dtypes.bfloat16)
+    return hi, lo
+
+
+@functools.lru_cache(maxsize=None)
+def _stage2_consts(n2: int):
+    """bf16 hi/lo splits of the lane-concatenated [Wr | Wi] DFT matrix.
+
+    One [n2, 2*n2] RHS serves all four real products of the complex GEMM
+    (see _stage2_dots): fewer, bigger MXU dispatches beat the Karatsuba
+    3-GEMM scheme inside the kernel, where dot count -- not FLOPs -- is the
+    bottleneck (117 [1024,128]x[128,128] dots measured 44 us/frame; 26
+    [4096,128]x[128,256] dots measured far faster)."""
+    k = np.arange(n2)
+    ang = -2.0 * np.pi * np.outer(k, k) / n2
+    wcat = np.concatenate([np.cos(ang), np.sin(ang)], axis=1).astype(np.float32)
+    return _split_bf16_const(wcat)      # (wcat_hi, wcat_lo), each [n2, 2*n2]
+
+
+_BITREV8 = np.array([0, 4, 2, 6, 1, 5, 3, 7], dtype=np.int64)
+
+
+@functools.lru_cache(maxsize=None)
+def _dif8_consts():
+    """Per-sublane planar constants for the three DIF radix-2 stages.
+
+    Stage twiddles sit on the subtract (lower) half of each butterfly group;
+    the add half multiplies by 1.  Returned as [8]-long (cr, ci) float32
+    pairs per stage, broadcast over [R, 8, n2] inside the kernel.
+    """
+    w8 = np.exp(-2j * np.pi * np.arange(8) / 8)
+    c1 = np.ones(8, np.complex64)
+    c1[4:] = w8[:4]                       # stage 1: spans 4, W8^{s-4} on top
+    c2 = np.ones(8, np.complex64)
+    for s in range(8):
+        if s % 4 >= 2:
+            c2[s] = w8[2 * (s % 2)]       # stage 2: spans 2, W4^{s%2}
+    # stage 3 twiddles are all 1.
+    return ((c1.real.astype(np.float32), c1.imag.astype(np.float32)),
+            (c2.real.astype(np.float32), c2.imag.astype(np.float32)))
+
+
+def _dif8_sublane(xr, xi, r, n2, c1r, c1i, c2r, c2i):
+    """DIF radix-2 8-point DFT along the sublane axis of [R, 8, n2] planes.
+
+    Whole-tensor formulation: each butterfly stage is a circular sublane roll
+    plus a masked select plus a per-sublane constant complex multiply -- no
+    slicing, no concatenation, no layout changes.  Output frequency index is
+    BIT-REVERSED (k at sublane rev3(k)); callers fold the reversal into the
+    frequency-permutation tables.  The stage twiddle planes c*r/c*i arrive as
+    [1, 8, n2] kernel inputs (per-sublane constants broadcast over lanes).
+    """
+    sub = jax.lax.broadcasted_iota(jnp.int32, (r, 8, n2), 1)
+
+    def stage(xr, xi, span, mask, cr, ci):
+        rr = pltpu.roll(xr, span, 1)       # rr[s] = xr[(s - span) mod 8]
+        ri = pltpu.roll(xi, span, 1)
+        fr = pltpu.roll(xr, 8 - span, 1)   # fr[s] = xr[(s + span) mod 8]
+        fi = pltpu.roll(xi, 8 - span, 1)
+        ur = jnp.where(mask, xr + fr, rr - xr)
+        ui = jnp.where(mask, xi + fi, ri - xi)
+        if cr is None:
+            return ur, ui
+        return ur * cr - ui * ci, ur * ci + ui * cr
+
+    xr, xi = stage(xr, xi, 4, sub < 4, c1r, c1i)
+    xr, xi = stage(xr, xi, 2, sub % 4 < 2, c2r, c2i)
+    xr, xi = stage(xr, xi, 1, sub % 2 < 1, None, None)
+    return xr, xi
+
+
+def _split_bf16(x):
+    hi = x.astype(jnp.bfloat16)
+    lo = (x - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    return hi, lo
+
+
+def _stage2_dots(bre, bim, wcat_hi, wcat_lo, n2: int):
+    """Complex GEMM against the DFT matrix as TWO large MXU dots.
+
+    All four real products (xr|xi x Wr|Wi) ride one [4M, n2] x [n2, 2*n2]
+    dot of bf16 hi/lo splits, with the lo-side correction as a second
+    [2M, n2] dot -- the hi*hi + lo*hi + hi*lo expansion that makes the
+    result fp32-grade (same scheme as XLA's Precision.HIGH)."""
+    d = functools.partial(jnp.dot, preferred_element_type=jnp.float32)
+    m = bre.shape[0]
+    rhi, rlo = _split_bf16(bre)
+    ihi, ilo = _split_bf16(bim)
+    p = d(jnp.concatenate([rhi, rlo, ihi, ilo], axis=0), wcat_hi)
+    q = d(jnp.concatenate([rhi, ihi], axis=0), wcat_lo)
+    xrwr = p[:m, :n2] + p[m:2 * m, :n2] + q[:m, :n2]
+    xrwi = p[:m, n2:] + p[m:2 * m, n2:] + q[:m, n2:]
+    xiwr = p[2 * m:3 * m, :n2] + p[3 * m:, :n2] + q[m:, :n2]
+    xiwi = p[2 * m:3 * m, n2:] + p[3 * m:, n2:] + q[m:, n2:]
+    return xrwr - xiwi, xrwi + xiwr
+
+
+def _kernel(yre_ref, yim_ref, hre_ref, him_ref, hsqinv_ref,
+            twre_ref, twim_ref, c1r_ref, c1i_ref, c2r_ref, c2i_ref,
+            wch_ref, wcl_ref,
+            outre_ref, outim_ref, *, ts: int, a: int, n1: int, n2: int):
+    r = ts * a
+
+    # ---- Stage 1: n1-point DFT over the sublane dim, whole-tensor rolls ----
+    xr = yre_ref[:].reshape(r, n1, n2)
+    xi = yim_ref[:].reshape(r, n1, n2)
+    ar, ai = _dif8_sublane(xr, xi, r, n2,
+                           c1r_ref[:][None], c1i_ref[:][None],
+                           c2r_ref[:][None], c2i_ref[:][None])
+    # [r, k1_br, i2], bit-reversed k1
+
+    # ---- Four-step twiddle (rows pre-reordered to bit-reversed k1) ----
+    twre, twim = twre_ref[:][None], twim_ref[:][None]
+    bre = (ar * twre - ai * twim).reshape(r * n1, n2)
+    bim = (ar * twim + ai * twre).reshape(r * n1, n2)
+
+    # ---- Stage 2: complex GEMM as two big bf16-split dots, fp32 accum ----
+    c2re, c2im = _stage2_dots(bre, bim, wch_ref[:], wcl_ref[:], n2)
+    cre = c2re.reshape(ts, a, n1, n2)
+    cim = c2im.reshape(ts, a, n1, n2)
+
+    # ---- MRC: multiply by conj-channel (pre-permuted), reduce antennas ----
+    hre = hre_ref[:][None]
+    him = him_ref[:][None]
+    num_re = jnp.sum(cre * hre + cim * him, axis=1)
+    num_im = jnp.sum(cim * hre - cre * him, axis=1)
+    inv = hsqinv_ref[:][None]
+    outre_ref[:] = num_re * inv
+    outim_ref[:] = num_im * inv
+
+
+@functools.lru_cache(maxsize=None)
+def _kernel_edge_gather(f: int) -> np.ndarray:
+    """Edge gather from kernel order to reference order.
+
+    Kernel position p = p1*n2 + k2 holds true frequency n1*k2 + rev3(p1)
+    (the DIF stage leaves k1 bit-reversed).  The gather folds the inverse of
+    that permutation together with the DC drop and the output ifftshift
+    (shiftOneRow, cpuLS.hpp:368) into one static take, exactly like
+    fastpath._edge_gather does for the natural-order pipeline.
+    """
+    n1, n2 = _fast_split(f)
+    p1 = np.arange(n1)[:, None]
+    k2 = np.arange(n2)[None, :]
+    true = (n1 * k2 + _BITREV8[p1]).reshape(-1)
+    inv = np.empty(f, dtype=np.int64)
+    inv[true] = np.arange(f)
+    m = f - 1
+    j = np.arange(m)
+    t = 1 + (j + m // 2) % m
+    return inv[t].astype(np.int32)
+
+
+def _resolve_interpret(interpret) -> bool:
+    """None -> interpret on complex-capable CPU backends (tests/golden runs),
+    compiled Mosaic elsewhere."""
+    if interpret is None:
+        return jax.default_backend() == "cpu"
+    return interpret
+
+
+def fused_pipeline(y: CArray, hre: jnp.ndarray, him: jnp.ndarray,
+                   hsqinv: jnp.ndarray, *, ts: int = 8,
+                   interpret=None) -> CArray:
+    """FFT + channel-conjugate MRC over a data block.
+
+    Args:
+      y:       [S, A, F] planar time-domain data symbols (CP already gone).
+      hre/him: [A, F] planar channel estimate h (NOT conjugated; the kernel
+               multiplies by conj(h)), in fastpath permuted order
+               (fft_permuted output layout).
+      hsqinv:  [F] fp32 1/sum_a|h|^2, fastpath permuted order.
+
+    Returns:
+      [S, F] planar equalized subcarriers in KERNEL order (bit-reversed k1);
+      apply _kernel_edge_gather for reference order.
+    """
+    interpret = _resolve_interpret(interpret)
+    s, a, f = y.shape
+    n1, n2 = _fast_split(f)
+    if n1 != 8 or n2 % 128:
+        raise ValueError(f"fused_pipeline requires an (8, 128) split, got "
+                         f"({n1}, {n2}) for F={f}")
+
+    s_pad = ((s + ts - 1) // ts) * ts
+    yre, yim = y.re, y.im
+    if s_pad != s:
+        pad = [(0, s_pad - s), (0, 0), (0, 0)]
+        yre, yim = jnp.pad(yre, pad), jnp.pad(yim, pad)
+    yre = yre.reshape(s_pad, a, n1, n2)
+    yim = yim.reshape(s_pad, a, n1, n2)
+
+    # Reorder the channel/normalizer/twiddle rows from natural k1 to the
+    # kernel's bit-reversed k1 (tiny one-time gathers outside the kernel).
+    br = _BITREV8
+    h_re = hre.reshape(a, n1, n2)[:, br, :]
+    h_im = him.reshape(a, n1, n2)[:, br, :]
+    hsq = hsqinv.reshape(n1, n2)[br, :]
+
+    tw = _twiddle(n1, n2, -1.0)[_BITREV8]  # [k1_br, i2]
+    twre = jnp.asarray(np.ascontiguousarray(tw.real), jnp.float32)
+    twim = jnp.asarray(np.ascontiguousarray(tw.imag), jnp.float32)
+    stage_tw = [jnp.asarray(np.broadcast_to(c[:, None], (n1, n2)).copy())
+                for pair in _dif8_consts() for c in pair]
+    consts = [jnp.asarray(np.asarray(c)) for c in _stage2_consts(n2)]
+
+    grid = (s_pad // ts,)
+    kernel = functools.partial(_kernel, ts=ts, a=a, n1=n1, n2=n2)
+    block_y = pl.BlockSpec((ts, a, n1, n2), lambda i: (i, 0, 0, 0),
+                           memory_space=pltpu.VMEM)
+    full = lambda shape: pl.BlockSpec(shape, lambda i: tuple(0 for _ in shape),
+                                      memory_space=pltpu.VMEM)
+    out_spec = pl.BlockSpec((ts, n1, n2), lambda i: (i, 0, 0),
+                            memory_space=pltpu.VMEM)
+
+    out_re, out_im = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[block_y, block_y,
+                  full((a, n1, n2)), full((a, n1, n2)), full((n1, n2)),
+                  full((n1, n2)), full((n1, n2)),
+                  *(full((n1, n2)) for _ in range(4)),
+                  full((n2, 2 * n2)), full((n2, 2 * n2))],
+        out_specs=(out_spec, out_spec),
+        out_shape=(jax.ShapeDtypeStruct((s_pad, n1, n2), jnp.float32),
+                   jax.ShapeDtypeStruct((s_pad, n1, n2), jnp.float32)),
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=24 * s_pad * a * f * n2,
+            bytes_accessed=(2 * s_pad * a * f + 2 * s_pad * f) * 4,
+            transcendentals=0,
+        ),
+    )(yre, yim, h_re, h_im, hsq, twre, twim, *stage_tw, *consts)
+
+    return CArray(out_re.reshape(s_pad, f)[:s], out_im.reshape(s_pad, f)[:s])
+
+
+def demod_frame_fused(frame: CArray, x_full_perm: CArray, *, cp: int,
+                      ts: int = 8, interpret=None) -> CArray:
+    """Drop-in for fastpath.demod_frame_fast backed by the fused kernel.
+
+    Args:
+      frame:       [S, A, F+cp] planar time-domain frame (pilot first).
+      x_full_perm: [F] planar padded pilot in permuted order
+                   (fastpath.prepare_pilot_fast).
+
+    Returns:
+      [S-1, F-1] planar demod output in reference layout (DC dropped,
+      ifftshift applied).
+    """
+    from . import fastpath
+
+    y = frame if cp == 0 else frame[..., cp:]
+    f = y.shape[-1]
+    # Pilot symbol: one-off XLA FFT; LS estimate in permuted order.
+    p = fastpath.fft_permuted(y[0])                    # [A, F]
+    denom = 1.0 / x_full_perm.abs2()
+    hre = (p.re * x_full_perm.re + p.im * x_full_perm.im) * denom
+    him = (p.im * x_full_perm.re - p.re * x_full_perm.im) * denom
+    hsqinv = 1.0 / jnp.sum(hre * hre + him * him, axis=0)
+
+    eq = fused_pipeline(y[1:], hre, him, hsqinv, ts=ts, interpret=interpret)
+    idx = jnp.asarray(_kernel_edge_gather(f))
+    return CArray(eq.re[:, idx], eq.im[:, idx])

@@ -88,6 +88,39 @@ def _sharded_demod_local_fast(pilot: CArray, data: CArray, x_perm: CArray,
     return CArray((num_re * inv[None])[:, idx], (num_im * inv[None])[:, idx])
 
 
+def _sharded_demod_local_fused(pilot: CArray, data: CArray, x_perm: CArray,
+                               *, cp: int) -> CArray:
+    """Fused-kernel shard body: the whole-pipeline Pallas kernel runs per
+    antenna shard with normalization deferred (hsqinv = 1) so the MRC
+    numerator and the local |H|^2 ride ONE fused psum over ``ant``; the
+    divide and the edge gather to reference order happen after.
+    """
+    import jax.numpy as jnp
+
+    from ..ops import pallas_pipeline
+
+    yp = fastpath.fft_permuted(drop_cyclic_prefix(pilot, cp))   # [A_l, F] perm
+    denom = 1.0 / x_perm.abs2()
+    hre = (yp.re * x_perm.re + yp.im * x_perm.im) * denom
+    him = (yp.im * x_perm.re - yp.re * x_perm.im) * denom
+    hsq_local = jnp.sum(hre * hre + him * him, axis=0)
+
+    y = drop_cyclic_prefix(data, cp)
+    ones = jnp.ones(y.shape[-1], jnp.float32)
+    num_local = pallas_pipeline.fused_pipeline(y, hre, him, ones)  # kernel order
+
+    num_re, num_im, hsqrd = jax.lax.psum(
+        (num_local.re, num_local.im, hsq_local), ANT_AXIS)
+    inv = 1.0 / hsqrd
+    # hsqrd is in fastpath perm order; reorder to the kernel's bit-reversed
+    # k1 before the elementwise divide, then edge-gather to reference order.
+    f = y.shape[-1]
+    n1, n2 = fastpath._fast_split(f)
+    inv_k = inv.reshape(n1, n2)[jnp.asarray(pallas_pipeline._BITREV8)].reshape(f)
+    idx = jnp.asarray(pallas_pipeline._kernel_edge_gather(f))
+    return CArray((num_re * inv_k[None])[:, idx], (num_im * inv_k[None])[:, idx])
+
+
 class ShardedUplinkReceiver:
     """Uplink receiver sharded over an (ant, time) mesh.
 
@@ -108,7 +141,8 @@ class ShardedUplinkReceiver:
         self.fft_impl = fft_impl or fft_ops.default_impl()
         self.pipeline = pipeline
         self.x_full = (fastpath.prepare_pilot_fast(pilot_x, cfg.fft_size)
-                       if pipeline == "fast" else ls_ops.pad_pilot(pilot_x))
+                       if pipeline in ("fast", "fused")
+                       else ls_ops.pad_pilot(pilot_x))
 
         n_ant = mesh.shape[ANT_AXIS]
         n_time = mesh.shape[TIME_AXIS]
@@ -119,7 +153,13 @@ class ShardedUplinkReceiver:
             raise ValueError(f"{cfg.num_data_symbols} data symbols not divisible "
                              f"by {n_time} time shards")
 
-        if pipeline == "fast":
+        if pipeline == "fused":
+            if fastpath._fast_split(cfg.fft_size) != (8, 128):
+                pipeline = self.pipeline = "fast"
+        if pipeline == "fused":
+            body = functools.partial(_sharded_demod_local_fused,
+                                     cp=cfg.cyclic_prefix)
+        elif pipeline == "fast":
             body = functools.partial(_sharded_demod_local_fast,
                                      cp=cfg.cyclic_prefix)
         else:
@@ -133,6 +173,9 @@ class ShardedUplinkReceiver:
                       P(TIME_AXIS, ANT_AXIS, None),  # data  [S-1, A, N]
                       P()),                          # x_full replicated
             out_specs=P(TIME_AXIS, None),            # out   [S-1, F-1]
+            # pallas_call outputs carry no varying-mesh-axes metadata; the
+            # fused shard body needs the vma check relaxed.
+            check_vma=(pipeline != "fused"),
         )
         self._demod = jax.jit(mapped)
 

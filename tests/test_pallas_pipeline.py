@@ -1,0 +1,51 @@
+"""Whole-pipeline Pallas kernel (ops/pallas_pipeline) vs golden, interpret mode.
+
+The kernel requires an (8, 128)-split FFT size, i.e. F = 1024; smaller
+geometries keep using ops/pallas_mrc or the XLA fast path.
+"""
+
+import numpy as np
+import pytest
+
+from ofdm_ls_mrc_tpu.golden import dsp
+from ofdm_ls_mrc_tpu.ops import fastpath
+from ofdm_ls_mrc_tpu.ops.cplx import CArray
+from ofdm_ls_mrc_tpu.ops.pallas_pipeline import demod_frame_fused, fused_pipeline
+
+
+def crandn(rng, shape):
+    return (rng.standard_normal(shape) + 1j * rng.standard_normal(shape)
+            ).astype(np.complex64)
+
+
+A, F, CP = 4, 1024, 72
+
+
+def test_matches_golden_frame(rng):
+    s = 9
+    frame = crandn(rng, (s, A, F + CP))
+    pilot = np.exp(2j * np.pi * rng.random(F - 1)).astype(np.complex64)
+    x_perm = fastpath.prepare_pilot_fast(pilot, F)
+    got = demod_frame_fused(CArray.from_numpy(frame), x_perm, cp=CP,
+                            interpret=True).to_numpy()
+    want = dsp.demod_frame(frame, pilot, CP)
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
+
+
+def test_matches_fastpath(rng):
+    """Same pipeline as fastpath.demod_frame_fast to fp32-split tolerance."""
+    s = 17  # non-multiple of the 8-symbol tile: exercises the pad/trim
+    frame = crandn(rng, (s, A, F))
+    pilot = np.exp(2j * np.pi * rng.random(F - 1)).astype(np.complex64)
+    x_perm = fastpath.prepare_pilot_fast(pilot, F)
+    cf = CArray.from_numpy(frame)
+    got = demod_frame_fused(cf, x_perm, cp=0, interpret=True).to_numpy()
+    want = fastpath.demod_frame_fast(cf, x_perm, cp=0).to_numpy()
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
+
+
+def test_rejects_unsupported_split(rng):
+    y = CArray.from_numpy(crandn(rng, (2, A, 256)))
+    h = np.zeros((A, 256), np.float32)
+    with pytest.raises(ValueError, match="8, 128"):
+        fused_pipeline(y, h, h, np.ones(256, np.float32), interpret=True)

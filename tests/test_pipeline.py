@@ -54,6 +54,25 @@ class TestUplinkReceiver:
         out = np.fft.fftshift(rx.demod_frame(rx_frame).to_numpy(), axes=-1)
         assert evm_db(out, data) < -25.0
 
+    def test_fused_pipeline_matches_fast(self, rng):
+        """pipeline='fused' (whole-pipeline Pallas kernel, interpreted on CPU)
+        agrees with pipeline='fast' at the reference FFT size."""
+        cfg = FrameConfig(num_antennas=2, fft_size=1024, cyclic_prefix=16,
+                          frame_len=4)
+        pilot = np.exp(2j * np.pi * rng.random(cfg.num_subcarriers)).astype(np.complex64)
+        frame = crandn(rng, (cfg.frame_len, cfg.num_antennas, cfg.symbol_len))
+        fast = UplinkReceiver(cfg, pilot, fft_impl="four_step",
+                              pipeline="fast").demod_frame(frame).to_numpy()
+        fused = UplinkReceiver(cfg, pilot, fft_impl="four_step",
+                               pipeline="fused").demod_frame(frame).to_numpy()
+        np.testing.assert_allclose(fused, fast, rtol=3e-4, atol=3e-4)
+
+    def test_fused_pipeline_falls_back_without_128_split(self, rng, small_cfg):
+        pilot = np.exp(2j * np.pi * rng.random(small_cfg.num_subcarriers)
+                       ).astype(np.complex64)
+        rx = UplinkReceiver(small_cfg, pilot, pipeline="fused")
+        assert rx.pipeline == "fast"  # 64-point FFT has no (8, 128) split
+
     def test_reference_default_geometry(self, rng):
         """16 ant x 1024 FFT x 101 symbols -- the reference's GPU config."""
         cfg = FrameConfig()

@@ -54,6 +54,26 @@ def test_sharded_matches_single_device(rng, devices):
     np.testing.assert_allclose(got, single, atol=1e-4)
 
 
+def test_sharded_fused_kernel_matches_golden(rng, devices):
+    """pipeline='fused' shard body (Pallas kernel per ant shard, deferred
+    normalization, one psum) at the kernel-supported 1024-point geometry."""
+    cfg = FrameConfig(num_antennas=4, fft_size=1024, cyclic_prefix=16,
+                      frame_len=5)
+    pilot = np.exp(2j * np.pi * rng.random(cfg.num_subcarriers)).astype(np.complex64)
+    frame = crandn(rng, (cfg.frame_len, cfg.num_antennas, cfg.symbol_len))
+    mesh = make_mesh(2, 2, devices=jax.devices()[:4])
+    rx = ShardedUplinkReceiver(cfg, pilot, mesh, pipeline="fused")
+    got = rx.demod_frame(frame).to_numpy()
+    want = dsp.demod_frame(frame, pilot, cfg.cyclic_prefix)
+    np.testing.assert_allclose(got, want, rtol=3e-3, atol=3e-3)
+
+
+def test_sharded_fused_falls_back(rng, devices):
+    pilot = np.exp(2j * np.pi * rng.random(CFG.num_subcarriers)).astype(np.complex64)
+    rx = ShardedUplinkReceiver(CFG, pilot, make_mesh(2, 2), pipeline="fused")
+    assert rx.pipeline == "fast"  # 64-point FFT has no (8, 128) split
+
+
 def test_pre_placed_inputs(rng, devices):
     pilot = np.exp(2j * np.pi * rng.random(CFG.num_subcarriers)).astype(np.complex64)
     frame = crandn(rng, (CFG.frame_len, CFG.num_antennas, CFG.symbol_len))
