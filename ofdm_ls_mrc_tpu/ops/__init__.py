@@ -1,6 +1,7 @@
 """JAX op layer: planar complex core, FFT, LS estimation, MRC, ZF, modulation."""
 
-from . import fft, ls, modulate, mrc, shift, zf  # noqa: F401 (submodule access)
+from . import correlate, fft, ls, modulate, mrc, shift, zf  # noqa: F401
+from .correlate import find_frame_start, pn_correlate, pn_correlate_sharded
 from .cplx import (
     CArray,
     cconcat,
@@ -27,6 +28,10 @@ __all__ = [
     "add_cyclic_prefix",
     "cconcat",
     "cdiv",
+    "correlate",
+    "find_frame_start",
+    "pn_correlate",
+    "pn_correlate_sharded",
     "ceinsum",
     "cmatmul",
     "cones",
