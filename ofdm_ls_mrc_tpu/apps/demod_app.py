@@ -36,6 +36,14 @@ def build_parser() -> argparse.ArgumentParser:
     ap.add_argument("--fft-impl", default=None,
                     choices=[None, "xla", "matmul", "four_step"],
                     help="FFT implementation (default: backend-appropriate)")
+    ap.add_argument("--pipeline", default="fused",
+                    choices=["fused", "fast", "composed"],
+                    help="demod path: fused Pallas kernel (falls back to fast "
+                         "when FFT size has no (8,128) split), XLA fastpath, "
+                         "or plain composed ops")
+    ap.add_argument("--catch-up", action="store_true",
+                    help="real-time mode: skip stale queued frames instead of "
+                         "draining backlog (readLastSymbol semantics)")
     ap.add_argument("--timeout", type=float, default=30.0,
                     help="ring spin-wait timeout seconds")
     ap.add_argument("--store-times", default=None,
@@ -61,7 +69,8 @@ def main(argv=None) -> int:
     ring_cols = args.fft_size + args.cp_size
 
     pilot = load_pilot(args.pilots, cfg.num_subcarriers)
-    rx = UplinkReceiver(cfg, pilot, fft_impl=args.fft_impl)
+    rx = UplinkReceiver(cfg, pilot, fft_impl=args.fft_impl,
+                        pipeline=args.pipeline)
     rx.warmup()
 
     timer = None if args.no_timer else PhaseTimer(
@@ -69,7 +78,7 @@ def main(argv=None) -> int:
 
     ring = SymbolRing(args.shm_uid, args.antennas, ring_cols, args.frame_len,
                       master=False, timeout=args.timeout)
-    feed = _make_feed(ring, cfg, args.cp_size, timer)
+    feed = _make_feed(ring, cfg, args.cp_size, timer, catch_up=args.catch_up)
 
     import jax
 
@@ -94,7 +103,7 @@ def main(argv=None) -> int:
     return 0
 
 
-def _make_feed(ring, cfg, cp_size, timer):
+def _make_feed(ring, cfg, cp_size, timer, catch_up=False):
     """RingFeed wired for a CP-carrying ring feeding a CP-free pipeline."""
     from ..io.feed import RingFeed
 
@@ -110,10 +119,15 @@ def _make_feed(ring, cfg, cp_size, timer):
         def read_next_planar(self, cp=0):
             return self._ring.read_next_planar(cp=self._cp)
 
+        @property
+        def available(self):
+            return self._ring.available
+
         def shutdown(self):
             self._ring.shutdown()
 
-    return RingFeed(_CpRingView(ring, cp_size), cfg, timer=timer)
+    return RingFeed(_CpRingView(ring, cp_size), cfg, timer=timer,
+                    catch_up=catch_up)
 
 
 if __name__ == "__main__":

@@ -129,6 +129,7 @@ class UplinkReceiver:
             self._demod_frame = jax.jit(
                 functools.partial(demod_frame_fn, x_full=self.x_full, **kw),
                 donate_argnums=donate_args)
+        self._demod_capture = None  # built lazily by demod_capture
         self._estimate = jax.jit(functools.partial(estimate_fn, **kw))
         self._demod_data = jax.jit(
             functools.partial(demod_data_fn, **kw), donate_argnums=donate_args)
@@ -146,6 +147,27 @@ class UplinkReceiver:
     def demod_data(self, data: FrameLike, hconj: CArray, hsqrd) -> CArray:
         """[S, A, F+cp] data + estimates -> [S, F-1]."""
         return self._demod_data(_as_carray(data), hconj, hsqrd)
+
+    # -- long-capture path: many frames in one dispatch ---------------------
+    def demod_capture(self, frames: FrameLike) -> CArray:
+        """[K, S, A, F+cp] capture (K whole frames) -> [K, S-1, F-1].
+
+        One jitted ``lax.scan`` over device-resident frames: a single
+        dispatch per capture instead of per frame, the pattern the reference
+        approximates with its ``numTimes`` outer loop (cpuLS_main.cpp:80-93)
+        re-entering the driver per frame.
+        """
+        if self._demod_capture is None:
+            demod_one = self._demod_frame
+
+            def capture(frs: CArray) -> CArray:
+                def body(_, x):
+                    return None, demod_one(x)
+                _, out = jax.lax.scan(body, None, frs)
+                return out
+
+            self._demod_capture = jax.jit(capture)
+        return self._demod_capture(_as_carray(frames))
 
     # -- compile ahead of time ----------------------------------------------
     def warmup(self) -> None:

@@ -117,8 +117,8 @@ def _sharded_demod_local_fused(pilot: CArray, data: CArray, x_perm: CArray,
     f = y.shape[-1]
     n1, n2 = fastpath._fast_split(f)
     inv_k = inv.reshape(n1, n2)[jnp.asarray(pallas_pipeline._BITREV8)].reshape(f)
-    idx = jnp.asarray(pallas_pipeline._kernel_edge_gather(f))
-    return CArray((num_re * inv_k[None])[:, idx], (num_im * inv_k[None])[:, idx])
+    eq = CArray(num_re * inv_k[None], num_im * inv_k[None])
+    return pallas_pipeline.to_reference_order(eq, f)
 
 
 class ShardedUplinkReceiver:

@@ -44,6 +44,22 @@ def test_matches_fastpath(rng):
     np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
 
 
+def test_structured_reorder_matches_gather(rng):
+    """to_reference_order (take+transpose+roll) == the single-take oracle."""
+    import jax.numpy as jnp
+
+    from ofdm_ls_mrc_tpu.ops.pallas_pipeline import (
+        _kernel_edge_gather,
+        to_reference_order,
+    )
+
+    eq = CArray.from_numpy(crandn(rng, (5, F)))
+    idx = jnp.asarray(_kernel_edge_gather(F))
+    want = np.asarray(eq.re[:, idx]) + 1j * np.asarray(eq.im[:, idx])
+    got = to_reference_order(eq, F).to_numpy()
+    np.testing.assert_array_equal(got, want)
+
+
 def test_rejects_unsupported_split(rng):
     y = CArray.from_numpy(crandn(rng, (2, A, 256)))
     h = np.zeros((A, 256), np.float32)

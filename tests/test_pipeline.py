@@ -54,6 +54,15 @@ class TestUplinkReceiver:
         out = np.fft.fftshift(rx.demod_frame(rx_frame).to_numpy(), axes=-1)
         assert evm_db(out, data) < -25.0
 
+    def test_demod_capture_matches_per_frame(self, rng, small_cfg):
+        cfg = small_cfg
+        pilot = np.exp(2j * np.pi * rng.random(cfg.num_subcarriers)).astype(np.complex64)
+        cap = crandn(rng, (3, cfg.frame_len, cfg.num_antennas, cfg.symbol_len))
+        rx = UplinkReceiver(cfg, pilot)
+        got = rx.demod_capture(cap).to_numpy()
+        want = np.stack([rx.demod_frame(cap[k]).to_numpy() for k in range(3)])
+        np.testing.assert_allclose(got, want, atol=1e-5)
+
     def test_fused_pipeline_matches_fast(self, rng):
         """pipeline='fused' (whole-pipeline Pallas kernel, interpreted on CPU)
         agrees with pipeline='fast' at the reference FFT size."""
