@@ -137,17 +137,24 @@ def _split_bf16(x):
     return hi, lo
 
 
-def _stage2_dots(bre, bim, wcat_hi, wcat_lo, n2: int):
+def _stage2_dots(bre, bim, wcat_hi, wcat_lo, n2: int, exact: bool = True):
     """Complex GEMM against the DFT matrix as TWO large MXU dots.
 
     All four real products (xr|xi x Wr|Wi) ride one [4M, n2] x [n2, 2*n2]
     dot of bf16 hi/lo splits, with the lo-side correction as a second
     [2M, n2] dot -- the hi*hi + lo*hi + hi*lo expansion that makes the
-    result fp32-grade (same scheme as XLA's Precision.HIGH)."""
+    result fp32-grade (same scheme as XLA's Precision.HIGH).  With
+    ``exact=False`` only the hi*hi products run (plain-bf16 numerics, ~1e-2
+    relative error, half the MACs -- the DEFAULT-precision speed mode)."""
     d = functools.partial(jnp.dot, preferred_element_type=jnp.float32)
     m = bre.shape[0]
     rhi, rlo = _split_bf16(bre)
     ihi, ilo = _split_bf16(bim)
+    if not exact:
+        p = d(jnp.concatenate([rhi, ihi], axis=0), wcat_hi)
+        xrwr, xrwi = p[:m, :n2], p[:m, n2:]
+        xiwr, xiwi = p[m:, :n2], p[m:, n2:]
+        return xrwr - xiwi, xrwi + xiwr
     p = d(jnp.concatenate([rhi, rlo, ihi, ilo], axis=0), wcat_hi)
     q = d(jnp.concatenate([rhi, ihi], axis=0), wcat_lo)
     xrwr = p[:m, :n2] + p[m:2 * m, :n2] + q[:m, :n2]
@@ -160,7 +167,8 @@ def _stage2_dots(bre, bim, wcat_hi, wcat_lo, n2: int):
 def _kernel(yre_ref, yim_ref, hre_ref, him_ref, hsqinv_ref,
             twre_ref, twim_ref, c1r_ref, c1i_ref, c2r_ref, c2i_ref,
             wch_ref, wcl_ref,
-            outre_ref, outim_ref, *, ts: int, a: int, n1: int, n2: int):
+            outre_ref, outim_ref, *, ts: int, a: int, n1: int, n2: int,
+            exact: bool = True):
     r = ts * a
 
     # ---- Stage 1: n1-point DFT over the sublane dim, whole-tensor rolls ----
@@ -177,7 +185,7 @@ def _kernel(yre_ref, yim_ref, hre_ref, him_ref, hsqinv_ref,
     bim = (ar * twim + ai * twre).reshape(r * n1, n2)
 
     # ---- Stage 2: complex GEMM as two big bf16-split dots, fp32 accum ----
-    c2re, c2im = _stage2_dots(bre, bim, wch_ref[:], wcl_ref[:], n2)
+    c2re, c2im = _stage2_dots(bre, bim, wch_ref[:], wcl_ref[:], n2, exact=exact)
     cre = c2re.reshape(ts, a, n1, n2)
     cim = c2im.reshape(ts, a, n1, n2)
 
@@ -244,7 +252,7 @@ def _resolve_interpret(interpret) -> bool:
 
 def fused_pipeline(y: CArray, hre: jnp.ndarray, him: jnp.ndarray,
                    hsqinv: jnp.ndarray, *, ts: int = 8,
-                   interpret=None) -> CArray:
+                   interpret=None, exact: bool = True) -> CArray:
     """FFT + channel-conjugate MRC over a data block.
 
     Args:
@@ -288,7 +296,7 @@ def fused_pipeline(y: CArray, hre: jnp.ndarray, him: jnp.ndarray,
     consts = [jnp.asarray(np.asarray(c)) for c in _stage2_consts(n2)]
 
     grid = (s_pad // ts,)
-    kernel = functools.partial(_kernel, ts=ts, a=a, n1=n1, n2=n2)
+    kernel = functools.partial(_kernel, ts=ts, a=a, n1=n1, n2=n2, exact=exact)
     block_y = pl.BlockSpec((ts, a, n1, n2), lambda i: (i, 0, 0, 0),
                            memory_space=pltpu.VMEM)
     full = lambda shape: pl.BlockSpec(shape, lambda i: tuple(0 for _ in shape),
@@ -319,7 +327,8 @@ def fused_pipeline(y: CArray, hre: jnp.ndarray, him: jnp.ndarray,
 
 
 def demod_frame_fused(frame: CArray, x_full_perm: CArray, *, cp: int,
-                      ts: int = 8, interpret=None) -> CArray:
+                      ts: int = 8, interpret=None,
+                      exact: bool = True) -> CArray:
     """Drop-in for fastpath.demod_frame_fast backed by the fused kernel.
 
     Args:
@@ -342,5 +351,6 @@ def demod_frame_fused(frame: CArray, x_full_perm: CArray, *, cp: int,
     him = (p.im * x_full_perm.re - p.re * x_full_perm.im) * denom
     hsqinv = 1.0 / jnp.sum(hre * hre + him * him, axis=0)
 
-    eq = fused_pipeline(y[1:], hre, him, hsqinv, ts=ts, interpret=interpret)
+    eq = fused_pipeline(y[1:], hre, him, hsqinv, ts=ts, interpret=interpret,
+                        exact=exact)
     return to_reference_order(eq, f)

@@ -60,6 +60,20 @@ def test_structured_reorder_matches_gather(rng):
     np.testing.assert_array_equal(got, want)
 
 
+def test_speed_mode_close_at_bf16_tolerance(rng):
+    """exact=False (hi-only products) lands within plain-bf16 error."""
+    frame = crandn(rng, (5, A, F))
+    pilot = np.exp(2j * np.pi * rng.random(F - 1)).astype(np.complex64)
+    x_perm = fastpath.prepare_pilot_fast(pilot, F)
+    cf = CArray.from_numpy(frame)
+    want = demod_frame_fused(cf, x_perm, cp=0, interpret=True).to_numpy()
+    got = demod_frame_fused(cf, x_perm, cp=0, interpret=True,
+                            exact=False).to_numpy()
+    scale = np.max(np.abs(want))
+    assert np.max(np.abs(got - want)) / scale < 5e-2
+    assert np.max(np.abs(got - want)) / scale > 1e-5  # genuinely different path
+
+
 def test_rejects_unsupported_split(rng):
     y = CArray.from_numpy(crandn(rng, (2, A, 256)))
     h = np.zeros((A, 256), np.float32)
