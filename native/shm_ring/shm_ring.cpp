@@ -47,11 +47,20 @@ using Clock = std::chrono::steady_clock;
 
 constexpr int32_t kMagic = 0x52494E47;  // "RING"
 
+// Element formats (the reference's ShMemSymBuff_cucomplex.hpp templates the
+// ring on element type; here it is a runtime header field).
+enum : int32_t {
+  FMT_CF32 = 0,   // interleaved complex64 (2 x float32)
+  FMT_SC16 = 1,   // interleaved complex int16 (USRP "sc16" wire format)
+};
+
 struct RingHeader {
   int32_t magic;
   int32_t rows;         // antennas
   int32_t cols;         // samples per row INCLUDING cyclic prefix
   int32_t len;          // number of symbol slots (lenOfBuffer)
+  int32_t fmt;          // FMT_* element format
+  int32_t pad_;
   std::atomic<int32_t> size;      // len when live; -1 = shutdown sentinel
   std::atomic<int32_t> dropped;   // overrun counter (no-wait writer)
   std::atomic<int64_t> head;      // symbols written (monotonic)
@@ -64,19 +73,27 @@ static_assert(sizeof(std::atomic<int32_t>) == sizeof(int32_t) &&
 
 struct Ring {
   RingHeader* hdr = nullptr;
-  float* data = nullptr;      // interleaved complex: len * rows*cols*2 floats
+  char* data = nullptr;       // len * rows*cols*2 elements of fmt's scalar
   size_t map_bytes = 0;
   std::string uid;
   bool master = false;
   int64_t spin_ns = 0;        // accumulated wait time (observability)
 };
 
-inline size_t slot_floats(const RingHeader* h) {
+inline size_t elem_bytes(int32_t fmt) {
+  return fmt == FMT_SC16 ? sizeof(int16_t) : sizeof(float);
+}
+
+inline size_t slot_scalars(const RingHeader* h) {
   return static_cast<size_t>(h->rows) * h->cols * 2;
 }
 
-inline float* slot_ptr(Ring* r, int64_t seq) {
-  return r->data + slot_floats(r->hdr) * (seq % r->hdr->len);
+inline size_t slot_bytes(const RingHeader* h) {
+  return slot_scalars(h) * elem_bytes(h->fmt);
+}
+
+inline char* slot_ptr(Ring* r, int64_t seq) {
+  return r->data + slot_bytes(r->hdr) * (seq % r->hdr->len);
 }
 
 enum : int {
@@ -111,12 +128,15 @@ int spin_until(Ring* r, Pred pred, double timeout_s) {
 extern "C" {
 
 // Create (master) or attach to (slave) a named ring.  Slave blocks up to
-// timeout_s for the master to initialize.  Returns nullptr on failure.
-void* ring_open(const char* uid, int rows, int cols, int len, int master,
-                double timeout_s) {
+// timeout_s for the master to initialize.  fmt: 0 = complex64, 1 = sc16
+// (interleaved int16 IQ, the USRP wire format -- half the shm bandwidth).
+// Returns nullptr on failure.
+void* ring_open_fmt(const char* uid, int rows, int cols, int len, int master,
+                    double timeout_s, int fmt) {
   if (!uid || rows <= 0 || cols <= 0 || len <= 1) return nullptr;
+  if (fmt != FMT_CF32 && fmt != FMT_SC16) return nullptr;
   size_t bytes = sizeof(RingHeader) +
-                 sizeof(float) * static_cast<size_t>(rows) * cols * 2 * len;
+                 elem_bytes(fmt) * static_cast<size_t>(rows) * cols * 2 * len;
 
   int fd = shm_open(uid, O_CREAT | O_RDWR, S_IRUSR | S_IWUSR);
   if (fd < 0) return nullptr;
@@ -134,7 +154,7 @@ void* ring_open(const char* uid, int rows, int cols, int len, int master,
     return nullptr;
   }
   r->hdr = static_cast<RingHeader*>(mem);
-  r->data = reinterpret_cast<float*>(static_cast<char*>(mem) + sizeof(RingHeader));
+  r->data = static_cast<char*>(mem) + sizeof(RingHeader);
   r->map_bytes = bytes;
   r->uid = uid;
   r->master = master != 0;
@@ -144,6 +164,7 @@ void* ring_open(const char* uid, int rows, int cols, int len, int master,
     r->hdr->rows = rows;
     r->hdr->cols = cols;
     r->hdr->len = len;
+    r->hdr->fmt = fmt;
     r->hdr->dropped.store(0, std::memory_order_relaxed);
     r->hdr->head.store(0, std::memory_order_relaxed);
     r->hdr->tail.store(0, std::memory_order_relaxed);
@@ -160,13 +181,20 @@ void* ring_open(const char* uid, int rows, int cols, int len, int master,
       }
       std::this_thread::yield();
     }
-    if (r->hdr->rows != rows || r->hdr->cols != cols || r->hdr->len != len) {
+    if (r->hdr->rows != rows || r->hdr->cols != cols || r->hdr->len != len ||
+        r->hdr->fmt != fmt) {
       munmap(mem, bytes);
       delete r;
       return nullptr;
     }
   }
   return r;
+}
+
+// Back-compat entry: complex64 element format.
+void* ring_open(const char* uid, int rows, int cols, int len, int master,
+                double timeout_s) {
+  return ring_open_fmt(uid, rows, cols, len, master, timeout_s, FMT_CF32);
 }
 
 // Shutdown handshake + unmap.  Slave sets size=-1 (telling the master to
@@ -210,12 +238,12 @@ double ring_spin_seconds(void* ring) {
 // (ShMemSymBuff.hpp:429-458).  wait=0: writeNextSymbolNoWait (live RX path,
 // ShMemSymBuff.hpp:460-482) -- never blocks; on overrun the new symbol is
 // dropped and counted.
-int ring_write(void* ring, const float* sym, int wait, double timeout_s) {
-  Ring* r = static_cast<Ring*>(ring);
+static int write_impl(Ring* r, const void* sym, int wait, double timeout_s,
+                      int32_t src_fmt) {
   if (!r || !sym) return RING_BADARG;
   RingHeader* h = r->hdr;
+  if (src_fmt != h->fmt) return RING_BADARG;
   if (h->size.load(std::memory_order_acquire) == -1) return RING_SHUTDOWN;
-  const size_t n = slot_floats(h);
 
   int64_t head = h->head.load(std::memory_order_relaxed);
   auto space = [&] {
@@ -229,38 +257,74 @@ int ring_write(void* ring, const float* sym, int wait, double timeout_s) {
     return RING_OVERRUN;
   }
 
-  std::memcpy(slot_ptr(r, head), sym, n * sizeof(float));
+  std::memcpy(slot_ptr(r, head), sym, slot_bytes(h));
   h->head.store(head + 1, std::memory_order_release);
   return RING_OK;
 }
 
+int ring_write(void* ring, const float* sym, int wait, double timeout_s) {
+  return write_impl(static_cast<Ring*>(ring), sym, wait, timeout_s, FMT_CF32);
+}
+
+// sc16 writer: interleaved int16 IQ straight off an SDR stream.
+int ring_write_sc16(void* ring, const int16_t* sym, int wait, double timeout_s) {
+  return write_impl(static_cast<Ring*>(ring), sym, wait, timeout_s, FMT_SC16);
+}
+
 namespace {
 
-// Copy slot -> out.  Interleaved complex in shm; output either interleaved
-// (planar=0: [rows][cols-cp]*2 floats) or planar float32 (planar=1:
-// re[rows][cols-cp] then im[rows][cols-cp]).  CP dropped on the fly
-// (the read-side prefix drop of ShMemSymBuff.hpp:281-294).
+// Copy slot -> out (always float32 on the way out).  Interleaved elements in
+// shm; output either interleaved (planar=0: [rows][cols-cp]*2 floats) or
+// planar float32 (planar=1: re[rows][cols-cp] then im[rows][cols-cp]).  CP
+// dropped on the fly (the read-side prefix drop of ShMemSymBuff.hpp:281-294);
+// sc16 slots convert to float with the UHD full-scale factor 1/32767 during
+// the same pass, so the int16 path costs no extra sweep.
+constexpr float kSc16Scale = 1.0f / 32767.0f;
+
 void copy_out(Ring* r, int64_t seq, float* out, int cp, int planar) {
   RingHeader* h = r->hdr;
   const int rows = h->rows, cols = h->cols;
   const int keep = cols - cp;
-  const float* src = slot_ptr(r, seq);
+  const bool sc16 = h->fmt == FMT_SC16;
+  const char* base = slot_ptr(r, seq);
+
+  auto row_src_f32 = [&](int i) {
+    return reinterpret_cast<const float*>(base) +
+           (static_cast<size_t>(i) * cols + cp) * 2;
+  };
+  auto row_src_s16 = [&](int i) {
+    return reinterpret_cast<const int16_t*>(base) +
+           (static_cast<size_t>(i) * cols + cp) * 2;
+  };
+
   if (!planar) {
     for (int i = 0; i < rows; ++i) {
-      std::memcpy(out + static_cast<size_t>(i) * keep * 2,
-                  src + (static_cast<size_t>(i) * cols + cp) * 2,
-                  sizeof(float) * keep * 2);
+      float* dst = out + static_cast<size_t>(i) * keep * 2;
+      if (!sc16) {
+        std::memcpy(dst, row_src_f32(i), sizeof(float) * keep * 2);
+      } else {
+        const int16_t* row = row_src_s16(i);
+        for (int j = 0; j < 2 * keep; ++j) dst[j] = row[j] * kSc16Scale;
+      }
     }
   } else {
     float* re = out;
     float* im = out + static_cast<size_t>(rows) * keep;
     for (int i = 0; i < rows; ++i) {
-      const float* row = src + (static_cast<size_t>(i) * cols + cp) * 2;
       float* rre = re + static_cast<size_t>(i) * keep;
       float* rim = im + static_cast<size_t>(i) * keep;
-      for (int j = 0; j < keep; ++j) {
-        rre[j] = row[2 * j];
-        rim[j] = row[2 * j + 1];
+      if (!sc16) {
+        const float* row = row_src_f32(i);
+        for (int j = 0; j < keep; ++j) {
+          rre[j] = row[2 * j];
+          rim[j] = row[2 * j + 1];
+        }
+      } else {
+        const int16_t* row = row_src_s16(i);
+        for (int j = 0; j < keep; ++j) {
+          rre[j] = row[2 * j] * kSc16Scale;
+          rim[j] = row[2 * j + 1] * kSc16Scale;
+        }
       }
     }
   }
@@ -303,11 +367,27 @@ int ring_read_next(void* ring, float* out, int cp, int planar, double timeout_s)
   return read_impl(ring, out, cp, planar, timeout_s);
 }
 
-// readLastSymbol (ShMemSymBuff.hpp:300-331).  With head/tail cursors the
-// "don't wait for the writer before advancing" special case the reference
-// needed is gone; kept as an alias for API parity.
+// readLastSymbol (ShMemSymBuff.hpp:300-331): real-time consumers read the
+// MOST RECENTLY written symbol, silently discarding any backlog (the
+// reference GPU per-symbol loop uses this for every data symbol after the
+// first, gpuLS.cu:419-424).  Blocks only when the ring is empty.
 int ring_read_last(void* ring, float* out, int cp, int planar, double timeout_s) {
-  return read_impl(ring, out, cp, planar, timeout_s);
+  Ring* r = static_cast<Ring*>(ring);
+  if (!r || !out) return RING_BADARG;
+  RingHeader* h = r->hdr;
+  if (cp < 0 || cp >= h->cols) return RING_BADARG;
+
+  int rc = spin_until(r, [&] {
+    return h->head.load(std::memory_order_acquire) >
+           h->tail.load(std::memory_order_relaxed);
+  }, timeout_s);
+  if (rc != RING_OK) return rc;
+
+  // Single consumer: claim everything up to head, copy the freshest slot.
+  int64_t head = h->head.load(std::memory_order_acquire);
+  copy_out(r, head - 1, out, cp, planar);
+  h->tail.store(head, std::memory_order_release);
+  return RING_OK;
 }
 
 }  // extern "C"

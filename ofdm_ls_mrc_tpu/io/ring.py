@@ -63,6 +63,10 @@ def _load() -> ctypes.CDLL:
         lib.ring_open.restype = ctypes.c_void_p
         lib.ring_open.argtypes = [ctypes.c_char_p, ctypes.c_int, ctypes.c_int,
                                   ctypes.c_int, ctypes.c_int, ctypes.c_double]
+        lib.ring_open_fmt.restype = ctypes.c_void_p
+        lib.ring_open_fmt.argtypes = [ctypes.c_char_p, ctypes.c_int,
+                                      ctypes.c_int, ctypes.c_int, ctypes.c_int,
+                                      ctypes.c_double, ctypes.c_int]
         lib.ring_close.argtypes = [ctypes.c_void_p]
         lib.ring_shutdown.argtypes = [ctypes.c_void_p]
         for name in ("ring_rows", "ring_cols", "ring_len", "ring_dropped",
@@ -78,6 +82,10 @@ def _load() -> ctypes.CDLL:
         lib.ring_write.restype = ctypes.c_int
         lib.ring_write.argtypes = [ctypes.c_void_p, fptr, ctypes.c_int,
                                    ctypes.c_double]
+        lib.ring_write_sc16.restype = ctypes.c_int
+        lib.ring_write_sc16.argtypes = [ctypes.c_void_p,
+                                        ctypes.POINTER(ctypes.c_int16),
+                                        ctypes.c_int, ctypes.c_double]
         for name in ("ring_read_next", "ring_read_last"):
             fn = getattr(lib, name)
             fn.restype = ctypes.c_int
@@ -111,20 +119,33 @@ class SymbolRing:
       length: ring slots (lenOfBuffer).
       master: True to create/initialize the segment.
       timeout: default spin-wait timeout in seconds.
+      dtype:  shm element format: "complex64" (default) or "sc16"
+              (interleaved int16 IQ, the USRP wire format -- half the shm
+              bandwidth; reads convert to float with the UHD full-scale
+              1/32767 during the native copy-out).  The reference's
+              ShMemSymBuff_cucomplex templates the ring on element type.
     """
 
+    _FMTS = {"complex64": 0, "sc16": 1}
+
     def __init__(self, uid: str, rows: int, cols: int, length: int,
-                 master: bool, timeout: float = 30.0):
+                 master: bool, timeout: float = 30.0,
+                 dtype: str = "complex64"):
         self._lib = _load()
         self._timeout = float(timeout)
         self.rows, self.cols, self.length = rows, cols, length
         self.uid = uid
-        handle = self._lib.ring_open(uid.encode(), rows, cols, length,
-                                     1 if master else 0, self._timeout)
+        if dtype not in self._FMTS:
+            raise ValueError(f"dtype must be one of {sorted(self._FMTS)}")
+        self.dtype = dtype
+        handle = self._lib.ring_open_fmt(uid.encode(), rows, cols, length,
+                                         1 if master else 0, self._timeout,
+                                         self._FMTS[dtype])
         if not handle:
             raise RingError(
                 f"ring_open({uid!r}) failed"
-                + ("" if master else " (master not up within timeout?)"))
+                + ("" if master else
+                   " (master not up within timeout, or geometry/dtype mismatch?)"))
         self._handle = ctypes.c_void_p(handle)
         self.master = master
 
@@ -137,14 +158,34 @@ class SymbolRing:
         wait=False -> writeNextSymbolNoWait (live path): on a full ring the
                       symbol is dropped, the overrun counted, and False
                       returned -- never blocks.
+
+        On an sc16 ring, pass either an int16 array of shape [rows, 2*cols]
+        (interleaved IQ, as received off the wire) or complex64 (converted
+        with the UHD full-scale factor here).
         """
-        sym = np.ascontiguousarray(symbol, dtype=np.complex64)
-        if sym.shape != (self.rows, self.cols):
-            raise ValueError(f"symbol shape {sym.shape} != ({self.rows}, {self.cols})")
-        buf = sym.view(np.float32)
-        rc = self._lib.ring_write(
-            self._handle, buf.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
-            1 if wait else 0, timeout or self._timeout)
+        if self.dtype == "sc16":
+            if symbol.dtype == np.int16:
+                sym = np.ascontiguousarray(symbol)
+                if sym.shape != (self.rows, 2 * self.cols):
+                    raise ValueError(
+                        f"sc16 symbol shape {sym.shape} != ({self.rows}, {2 * self.cols})")
+            else:
+                c = np.ascontiguousarray(symbol, dtype=np.complex64)
+                if c.shape != (self.rows, self.cols):
+                    raise ValueError(
+                        f"symbol shape {c.shape} != ({self.rows}, {self.cols})")
+                sym = np.round(c.view(np.float32) * 32767.0).astype(np.int16)
+            rc = self._lib.ring_write_sc16(
+                self._handle, sym.ctypes.data_as(ctypes.POINTER(ctypes.c_int16)),
+                1 if wait else 0, timeout or self._timeout)
+        else:
+            sym = np.ascontiguousarray(symbol, dtype=np.complex64)
+            if sym.shape != (self.rows, self.cols):
+                raise ValueError(f"symbol shape {sym.shape} != ({self.rows}, {self.cols})")
+            buf = sym.view(np.float32)
+            rc = self._lib.ring_write(
+                self._handle, buf.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+                1 if wait else 0, timeout or self._timeout)
         if rc == RING_OVERRUN and not wait:
             return False
         _check(rc, "ring_write")

@@ -14,6 +14,7 @@ import numpy as np
 import pytest
 
 from ofdm_ls_mrc_tpu.io.ring import (
+    RingError,
     RingShutdown,
     RingTimeout,
     SymbolRing,
@@ -205,6 +206,73 @@ class TestCrossProcess:
         assert p.exitcode == 0
         np.testing.assert_array_equal(np.array(vals), np.arange(n, dtype=np.float32))
         r.close()
+
+
+class TestReadLast:
+    def test_read_last_skips_backlog(self, pair, rng):
+        """readLastSymbol semantics (ShMemSymBuff.hpp:300-331; used per data
+        symbol by the reference GPU loop, gpuLS.cu:419-424): deliver the
+        freshest symbol, discard everything older."""
+        w, r = pair
+        syms = [_sym(rng) for _ in range(LEN - 1)]
+        for s in syms:
+            w.write(s)
+        got = r.read_last(cp=0)
+        np.testing.assert_array_equal(got, syms[-1])
+        assert r.available == 0  # backlog consumed, not left behind
+
+    def test_read_last_blocks_when_empty(self, pair, rng):
+        w, r = pair
+        with pytest.raises(RingTimeout):
+            r.read_last(cp=0, timeout=0.2)
+
+
+class TestSc16Ring:
+    """sc16 element format: int16 IQ in shm, float planar out (reference
+    ShMemSymBuff_cucomplex templated element type; USRP wire format)."""
+
+    @pytest.fixture
+    def sc16_pair(self):
+        uid = _uid()
+        m = SymbolRing(uid, ROWS, COLS, LEN, master=True, timeout=5.0,
+                       dtype="sc16")
+        s = SymbolRing(uid, ROWS, COLS, LEN, master=False, timeout=5.0,
+                       dtype="sc16")
+        yield m, s
+        s.close()
+        m.close()
+
+    def test_int16_roundtrip_scaled(self, sc16_pair, rng):
+        w, r = sc16_pair
+        iq = rng.integers(-32767, 32767, size=(ROWS, 2 * COLS), dtype=np.int16)
+        w.write(iq)
+        got = r.read_next(cp=0)
+        want = (iq[:, 0::2] + 1j * iq[:, 1::2]).astype(np.complex64) / 32767.0
+        np.testing.assert_allclose(got, want, atol=1e-6)
+
+    def test_complex_write_converts(self, sc16_pair, rng):
+        w, r = sc16_pair
+        sym = (_sym(rng) / 8.0).astype(np.complex64)  # keep inside full scale
+        w.write(sym)
+        got = r.read_next(cp=CP)
+        np.testing.assert_allclose(got, sym[:, CP:], atol=1.0 / 32767.0)
+
+    def test_planar_read_and_cp_drop(self, sc16_pair, rng):
+        w, r = sc16_pair
+        sym = (_sym(rng) / 8.0).astype(np.complex64)
+        w.write(sym)
+        re, im = r.read_next_planar(cp=CP)
+        np.testing.assert_allclose(re + 1j * im, sym[:, CP:], atol=1.0 / 32767.0)
+
+    def test_dtype_mismatch_rejected(self):
+        uid = _uid()
+        m = SymbolRing(uid, ROWS, COLS, LEN, master=True, timeout=5.0,
+                       dtype="sc16")
+        try:
+            with pytest.raises(RingError):
+                SymbolRing(uid, ROWS, COLS, LEN, master=False, timeout=0.5)
+        finally:
+            m.close()
 
 
 class TestCatchUpFeed:
