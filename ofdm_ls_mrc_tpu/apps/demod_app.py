@@ -44,6 +44,9 @@ def build_parser() -> argparse.ArgumentParser:
     ap.add_argument("--catch-up", action="store_true",
                     help="real-time mode: skip stale queued frames instead of "
                          "draining backlog (readLastSymbol semantics)")
+    ap.add_argument("--ring-dtype", default="complex64",
+                    choices=["complex64", "sc16"],
+                    help="shm element format (must match the RX master)")
     ap.add_argument("--timeout", type=float, default=30.0,
                     help="ring spin-wait timeout seconds")
     ap.add_argument("--store-times", default=None,
@@ -77,7 +80,7 @@ def main(argv=None) -> int:
         num_slots=args.frame_len, num_times=args.num_frames)
 
     ring = SymbolRing(args.shm_uid, args.antennas, ring_cols, args.frame_len,
-                      master=False, timeout=args.timeout)
+                      master=False, timeout=args.timeout, dtype=args.ring_dtype)
     feed = _make_feed(ring, cfg, args.cp_size, timer, catch_up=args.catch_up)
 
     import jax

@@ -51,6 +51,10 @@ def build_parser() -> argparse.ArgumentParser:
                     help="backpressured writes (default: no-wait like live RX)")
     ap.add_argument("--dump-aligned", action="store_true",
                     help="dump aligned captures per channel like the reference")
+    ap.add_argument("--ring-dtype", default="complex64",
+                    choices=["complex64", "sc16"],
+                    help="shm element format; sc16 halves ring bandwidth "
+                         "(USRP wire format)")
     ap.add_argument("--timeout", type=float, default=30.0)
     return ap
 
@@ -99,7 +103,7 @@ def main(argv=None) -> int:
         start += pn.size  # payload begins after the preamble
 
     ring = SymbolRing(args.shm_uid, args.antennas, sym_len, args.frame_len,
-                      master=True, timeout=args.timeout)
+                      master=True, timeout=args.timeout, dtype=args.ring_dtype)
     print(f"ring master up: uid={args.shm_uid} "
           f"[{args.antennas} x {sym_len}] x {args.frame_len}")
 

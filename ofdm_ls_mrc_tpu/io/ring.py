@@ -174,7 +174,8 @@ class SymbolRing:
                 if c.shape != (self.rows, self.cols):
                     raise ValueError(
                         f"symbol shape {c.shape} != ({self.rows}, {self.cols})")
-                sym = np.round(c.view(np.float32) * 32767.0).astype(np.int16)
+                sym = np.round(np.clip(c.view(np.float32) * 32767.0,
+                                       -32767, 32767)).astype(np.int16)
             rc = self._lib.ring_write_sc16(
                 self._handle, sym.ctypes.data_as(ctypes.POINTER(ctypes.c_int16)),
                 1 if wait else 0, timeout or self._timeout)

@@ -95,7 +95,7 @@ class UplinkReceiver:
         fastpath (permuted-order transpose-free four-step + Karatsuba GEMMs);
         'composed' uses the plain ops composition (reference for testing).
         'fused' silently falls back to 'fast' when the FFT size has no
-        (8, 128) split.  The split-phase estimate/demod_data API always uses
+        (2^k, 128) split.  The split-phase estimate/demod_data API always uses
         the composed ops (its estimates are interchangeable across frames)."""
         cfg.validate()
         if pilot_x.shape[-1] != cfg.num_subcarriers:
@@ -112,7 +112,8 @@ class UplinkReceiver:
         kw = dict(cp=cfg.cyclic_prefix, fft_impl=self.fft_impl)
         donate_args = (0,) if donate else ()
         from ..ops.fastpath import _fast_split
-        if pipeline == "fused" and _fast_split(cfg.fft_size) != (8, 128):
+        n1, n2 = _fast_split(cfg.fft_size)
+        if pipeline == "fused" and (n1 & (n1 - 1) or n1 < 2 or n2 % 128):
             pipeline = self.pipeline = "fast"
         if pipeline == "fused" and self.fft_impl != "xla":
             from ..ops import pallas_pipeline

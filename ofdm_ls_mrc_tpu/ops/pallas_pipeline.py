@@ -79,55 +79,76 @@ def _stage2_consts(n2: int):
     return _split_bf16_const(wcat)      # (wcat_hi, wcat_lo), each [n2, 2*n2]
 
 
-_BITREV8 = np.array([0, 4, 2, 6, 1, 5, 3, 7], dtype=np.int64)
+@functools.lru_cache(maxsize=None)
+def _bitrev(n1: int) -> np.ndarray:
+    """Bit-reversal permutation for a power-of-2 n1 (involution)."""
+    bits = n1.bit_length() - 1
+    out = np.zeros(n1, dtype=np.int64)
+    for i in range(n1):
+        v, x = 0, i
+        for _ in range(bits):
+            v = (v << 1) | (x & 1)
+            x >>= 1
+        out[i] = v
+    return out
+
+
+_BITREV8 = _bitrev(8)  # kept by name: [0, 4, 2, 6, 1, 5, 3, 7]
 
 
 @functools.lru_cache(maxsize=None)
-def _dif8_consts():
-    """Per-sublane planar constants for the three DIF radix-2 stages.
+def _dif_consts(n1: int):
+    """Per-sublane planar constants for the log2(n1) DIF radix-2 stages.
 
-    Stage twiddles sit on the subtract (lower) half of each butterfly group;
-    the add half multiplies by 1.  Returned as [8]-long (cr, ci) float32
-    pairs per stage, broadcast over [R, 8, n2] inside the kernel.
+    At the stage with butterfly span m (groups of 2m), the subtract (lower)
+    half of each group multiplies by W_{2m}^{s mod m}; the add half by 1.
+    The final span-1 stage is twiddle-free and omitted.  Returned as
+    [n1]-long (cr, ci) float32 pairs per twiddled stage.
     """
-    w8 = np.exp(-2j * np.pi * np.arange(8) / 8)
-    c1 = np.ones(8, np.complex64)
-    c1[4:] = w8[:4]                       # stage 1: spans 4, W8^{s-4} on top
-    c2 = np.ones(8, np.complex64)
-    for s in range(8):
-        if s % 4 >= 2:
-            c2[s] = w8[2 * (s % 2)]       # stage 2: spans 2, W4^{s%2}
-    # stage 3 twiddles are all 1.
-    return ((c1.real.astype(np.float32), c1.imag.astype(np.float32)),
-            (c2.real.astype(np.float32), c2.imag.astype(np.float32)))
+    out = []
+    m = n1 // 2
+    while m >= 2:
+        c = np.ones(n1, np.complex64)
+        for s in range(n1):
+            if s % (2 * m) >= m:
+                c[s] = np.exp(-2j * np.pi * (s % m) / (2 * m))
+        out.append((c.real.astype(np.float32), c.imag.astype(np.float32)))
+        m //= 2
+    return tuple(out)
 
 
-def _dif8_sublane(xr, xi, r, n2, c1r, c1i, c2r, c2i):
-    """DIF radix-2 8-point DFT along the sublane axis of [R, 8, n2] planes.
+def _dif_sublane(xr, xi, r, n1, n2, stage_consts):
+    """DIF radix-2 n1-point DFT along the sublane axis of [R, n1, n2] planes.
 
     Whole-tensor formulation: each butterfly stage is a circular sublane roll
     plus a masked select plus a per-sublane constant complex multiply -- no
     slicing, no concatenation, no layout changes.  Output frequency index is
-    BIT-REVERSED (k at sublane rev3(k)); callers fold the reversal into the
-    frequency-permutation tables.  The stage twiddle planes c*r/c*i arrive as
-    [1, 8, n2] kernel inputs (per-sublane constants broadcast over lanes).
+    BIT-REVERSED (k at sublane rev(k)); callers fold the reversal into the
+    frequency-permutation tables.  ``stage_consts`` are (cr, ci) [1, n1, n2]
+    kernel inputs (per-sublane constants broadcast over lanes), one pair per
+    twiddled stage (all but the last).
     """
-    sub = jax.lax.broadcasted_iota(jnp.int32, (r, 8, n2), 1)
+    sub = jax.lax.broadcasted_iota(jnp.int32, (r, n1, n2), 1)
 
     def stage(xr, xi, span, mask, cr, ci):
-        rr = pltpu.roll(xr, span, 1)       # rr[s] = xr[(s - span) mod 8]
+        rr = pltpu.roll(xr, span, 1)        # rr[s] = xr[(s - span) mod n1]
         ri = pltpu.roll(xi, span, 1)
-        fr = pltpu.roll(xr, 8 - span, 1)   # fr[s] = xr[(s + span) mod 8]
-        fi = pltpu.roll(xi, 8 - span, 1)
+        fr = pltpu.roll(xr, n1 - span, 1)   # fr[s] = xr[(s + span) mod n1]
+        fi = pltpu.roll(xi, n1 - span, 1)
         ur = jnp.where(mask, xr + fr, rr - xr)
         ui = jnp.where(mask, xi + fi, ri - xi)
         if cr is None:
             return ur, ui
         return ur * cr - ui * ci, ur * ci + ui * cr
 
-    xr, xi = stage(xr, xi, 4, sub < 4, c1r, c1i)
-    xr, xi = stage(xr, xi, 2, sub % 4 < 2, c2r, c2i)
-    xr, xi = stage(xr, xi, 1, sub % 2 < 1, None, None)
+    m = n1 // 2
+    ci = 0
+    while m >= 1:
+        mask = sub % (2 * m) < m
+        cr_ci = stage_consts[ci] if m >= 2 else (None, None)
+        xr, xi = stage(xr, xi, m, mask, *cr_ci)
+        m //= 2
+        ci += 1
     return xr, xi
 
 
@@ -165,18 +186,19 @@ def _stage2_dots(bre, bim, wcat_hi, wcat_lo, n2: int, exact: bool = True):
 
 
 def _kernel(yre_ref, yim_ref, hre_ref, him_ref, hsqinv_ref,
-            twre_ref, twim_ref, c1r_ref, c1i_ref, c2r_ref, c2i_ref,
-            wch_ref, wcl_ref,
-            outre_ref, outim_ref, *, ts: int, a: int, n1: int, n2: int,
+            twre_ref, twim_ref, *rest, ts: int, a: int, n1: int, n2: int,
             exact: bool = True):
     r = ts * a
+    n_tw_stages = max(n1.bit_length() - 2, 0)   # all radix-2 stages but span-1
+    stage_refs = rest[:2 * n_tw_stages]
+    wch_ref, wcl_ref, outre_ref, outim_ref = rest[2 * n_tw_stages:]
 
     # ---- Stage 1: n1-point DFT over the sublane dim, whole-tensor rolls ----
     xr = yre_ref[:].reshape(r, n1, n2)
     xi = yim_ref[:].reshape(r, n1, n2)
-    ar, ai = _dif8_sublane(xr, xi, r, n2,
-                           c1r_ref[:][None], c1i_ref[:][None],
-                           c2r_ref[:][None], c2i_ref[:][None])
+    consts = [(stage_refs[2 * i][:][None], stage_refs[2 * i + 1][:][None])
+              for i in range(n_tw_stages)]
+    ar, ai = _dif_sublane(xr, xi, r, n1, n2, consts)
     # [r, k1_br, i2], bit-reversed k1
 
     # ---- Four-step twiddle (rows pre-reordered to bit-reversed k1) ----
@@ -214,7 +236,7 @@ def _kernel_edge_gather(f: int) -> np.ndarray:
     n1, n2 = _fast_split(f)
     p1 = np.arange(n1)[:, None]
     k2 = np.arange(n2)[None, :]
-    true = (n1 * k2 + _BITREV8[p1]).reshape(-1)
+    true = (n1 * k2 + _bitrev(n1)[p1]).reshape(-1)
     inv = np.empty(f, dtype=np.int64)
     inv[true] = np.arange(f)
     m = f - 1
@@ -232,7 +254,7 @@ def to_reference_order(eq: CArray, f: int) -> CArray:
     """
     s = eq.shape[0]
     n1, n2 = _fast_split(f)
-    rev = jnp.asarray(_BITREV8)
+    rev = jnp.asarray(_bitrev(n1))
 
     def fix(p):
         v = p.reshape(s, n1, n2)[:, rev, :]
@@ -269,8 +291,8 @@ def fused_pipeline(y: CArray, hre: jnp.ndarray, him: jnp.ndarray,
     interpret = _resolve_interpret(interpret)
     s, a, f = y.shape
     n1, n2 = _fast_split(f)
-    if n1 != 8 or n2 % 128:
-        raise ValueError(f"fused_pipeline requires an (8, 128) split, got "
+    if n1 & (n1 - 1) or n1 < 2 or n2 % 128:
+        raise ValueError(f"fused_pipeline requires a (2^k, 128) split, got "
                          f"({n1}, {n2}) for F={f}")
 
     s_pad = ((s + ts - 1) // ts) * ts
@@ -283,16 +305,16 @@ def fused_pipeline(y: CArray, hre: jnp.ndarray, him: jnp.ndarray,
 
     # Reorder the channel/normalizer/twiddle rows from natural k1 to the
     # kernel's bit-reversed k1 (tiny one-time gathers outside the kernel).
-    br = _BITREV8
+    br = _bitrev(n1)
     h_re = hre.reshape(a, n1, n2)[:, br, :]
     h_im = him.reshape(a, n1, n2)[:, br, :]
     hsq = hsqinv.reshape(n1, n2)[br, :]
 
-    tw = _twiddle(n1, n2, -1.0)[_BITREV8]  # [k1_br, i2]
+    tw = _twiddle(n1, n2, -1.0)[br]  # [k1_br, i2]
     twre = jnp.asarray(np.ascontiguousarray(tw.real), jnp.float32)
     twim = jnp.asarray(np.ascontiguousarray(tw.imag), jnp.float32)
     stage_tw = [jnp.asarray(np.broadcast_to(c[:, None], (n1, n2)).copy())
-                for pair in _dif8_consts() for c in pair]
+                for pair in _dif_consts(n1) for c in pair]
     consts = [jnp.asarray(np.asarray(c)) for c in _stage2_consts(n2)]
 
     grid = (s_pad // ts,)
@@ -310,7 +332,7 @@ def fused_pipeline(y: CArray, hre: jnp.ndarray, him: jnp.ndarray,
         in_specs=[block_y, block_y,
                   full((a, n1, n2)), full((a, n1, n2)), full((n1, n2)),
                   full((n1, n2)), full((n1, n2)),
-                  *(full((n1, n2)) for _ in range(4)),
+                  *(full((n1, n2)) for _ in range(len(stage_tw))),
                   full((n2, 2 * n2)), full((n2, 2 * n2))],
         out_specs=(out_spec, out_spec),
         out_shape=(jax.ShapeDtypeStruct((s_pad, n1, n2), jnp.float32),

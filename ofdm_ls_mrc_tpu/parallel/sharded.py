@@ -116,7 +116,7 @@ def _sharded_demod_local_fused(pilot: CArray, data: CArray, x_perm: CArray,
     # k1 before the elementwise divide, then edge-gather to reference order.
     f = y.shape[-1]
     n1, n2 = fastpath._fast_split(f)
-    inv_k = inv.reshape(n1, n2)[jnp.asarray(pallas_pipeline._BITREV8)].reshape(f)
+    inv_k = inv.reshape(n1, n2)[jnp.asarray(pallas_pipeline._bitrev(n1))].reshape(f)
     eq = CArray(num_re * inv_k[None], num_im * inv_k[None])
     return pallas_pipeline.to_reference_order(eq, f)
 
@@ -154,7 +154,8 @@ class ShardedUplinkReceiver:
                              f"by {n_time} time shards")
 
         if pipeline == "fused":
-            if fastpath._fast_split(cfg.fft_size) != (8, 128):
+            n1, n2 = fastpath._fast_split(cfg.fft_size)
+            if n1 & (n1 - 1) or n1 < 2 or n2 % 128:
                 pipeline = self.pipeline = "fast"
         if pipeline == "fused":
             body = functools.partial(_sharded_demod_local_fused,

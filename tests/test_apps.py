@@ -35,13 +35,15 @@ def workdir(tmp_path):
     return tmp_path
 
 
-def test_three_process_loopback(workdir):
+@pytest.mark.parametrize("ring_dtype", ["complex64", "sc16"])
+def test_three_process_loopback(workdir, ring_dtype):
     cap = str(workdir / "capture.dat")
     sent = str(workdir / "sent.dat")
     out = str(workdir / "Output_tpu.dat")
     uid = f"/ofdm_app_{uuid.uuid4().hex[:8]}"
     common = ["--antennas", str(A), "--fft-size", str(F),
               "--cp-size", str(CP), "--frame-len", str(S)]
+    ring_args = ["--ring-dtype", ring_dtype]
 
     # TX: modulate one frame through a 25 dB channel, with PN preamble.
     r = run(["ofdm_ls_mrc_tpu.apps.tx_app", "--out", cap, "--data-out", sent,
@@ -56,13 +58,13 @@ def test_three_process_loopback(workdir):
         [sys.executable, "-m", "ofdm_ls_mrc_tpu.apps.rx_app", "--file", cap,
          "--shm-uid", uid, "--thres", "0.05", "--wait-writes",
          "--pn-file", str(workdir / "nonexistent_pn.dat"),
-         "--num-frames", "1"] + common,
+         "--num-frames", "1"] + common + ring_args,
         cwd=REPO, env=ENV_BASE, stdout=subprocess.PIPE, stderr=subprocess.PIPE,
         text=True)
     dm = subprocess.Popen(
         [sys.executable, "-m", "ofdm_ls_mrc_tpu.apps.demod_app",
          "--shm-uid", uid, "--output", out, "--num-frames", "1",
-         "--pilots", str(workdir / "nonexistent_pilots.dat")] + common,
+         "--pilots", str(workdir / "nonexistent_pilots.dat")] + common + ring_args,
         cwd=REPO, env=ENV_BASE, stdout=subprocess.PIPE, stderr=subprocess.PIPE,
         text=True)
     rx_out, rx_err = rx.communicate(timeout=300)

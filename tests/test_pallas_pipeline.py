@@ -60,6 +60,18 @@ def test_structured_reorder_matches_gather(rng):
     np.testing.assert_array_equal(got, want)
 
 
+@pytest.mark.parametrize("f", [256, 512, 2048])
+def test_other_fft_sizes(rng, f):
+    """Generalized radix-2 stage-1 covers any (2^k, 128) split."""
+    frame = crandn(rng, (6, 2, f + 32))
+    pilot = np.exp(2j * np.pi * rng.random(f - 1)).astype(np.complex64)
+    x_perm = fastpath.prepare_pilot_fast(pilot, f)
+    got = demod_frame_fused(CArray.from_numpy(frame), x_perm, cp=32,
+                            interpret=True).to_numpy()
+    want = dsp.demod_frame(frame, pilot, 32)
+    np.testing.assert_allclose(got, want, rtol=3e-4, atol=3e-4)
+
+
 def test_speed_mode_close_at_bf16_tolerance(rng):
     """exact=False (hi-only products) lands within plain-bf16 error."""
     frame = crandn(rng, (5, A, F))
@@ -75,7 +87,7 @@ def test_speed_mode_close_at_bf16_tolerance(rng):
 
 
 def test_rejects_unsupported_split(rng):
-    y = CArray.from_numpy(crandn(rng, (2, A, 256)))
-    h = np.zeros((A, 256), np.float32)
-    with pytest.raises(ValueError, match="8, 128"):
-        fused_pipeline(y, h, h, np.ones(256, np.float32), interpret=True)
+    y = CArray.from_numpy(crandn(rng, (2, A, 192)))  # splits (16, 12): no 128 lane
+    h = np.zeros((A, 192), np.float32)
+    with pytest.raises(ValueError, match="128"):
+        fused_pipeline(y, h, h, np.ones(192, np.float32), interpret=True)
