@@ -194,4 +194,89 @@ void ofdm_modulate(const float* data, int f, int cp, float* out) {
   std::memcpy(o + cp, grid.data(), sizeof(cf) * f);
 }
 
+// Multi-user zero-forcing precoder (createZeroForcingMatrix,
+// cpuLS.hpp:415-447): per subcarrier W = H^H (H H^H)^{-1}, the Moore-Penrose
+// right-inverse of the users x antennas channel, so H @ W = I_users.  The
+// reference builds it with cgemm + cgetrf_/cgetri_; here the U x U complex
+// Gram system is solved by Gauss-Jordan with partial pivoting (U is small).
+//   h: [s][u][a] interleaved complex
+//   w: out [s][a][u]
+void ofdm_zf_precoder(const float* h, int s, int u, int a, float* w) {
+  std::vector<cf> g(static_cast<size_t>(u) * u);
+  std::vector<cf> inv(static_cast<size_t>(u) * u);
+  for (int sc = 0; sc < s; ++sc) {
+    const cf* hs = as_cf(h) + static_cast<size_t>(sc) * u * a;
+    // G = H H^H
+    for (int i = 0; i < u; ++i)
+      for (int j = 0; j < u; ++j) {
+        cf acc(0, 0);
+        for (int k = 0; k < a; ++k)
+          acc += hs[static_cast<size_t>(i) * a + k] *
+                 std::conj(hs[static_cast<size_t>(j) * a + k]);
+        g[static_cast<size_t>(i) * u + j] = acc;
+      }
+    // inv = G^{-1} by Gauss-Jordan with partial pivoting.
+    for (int i = 0; i < u; ++i)
+      for (int j = 0; j < u; ++j)
+        inv[static_cast<size_t>(i) * u + j] = (i == j) ? cf(1, 0) : cf(0, 0);
+    for (int col = 0; col < u; ++col) {
+      int piv = col;
+      for (int r2 = col + 1; r2 < u; ++r2)
+        if (std::abs(g[static_cast<size_t>(r2) * u + col]) >
+            std::abs(g[static_cast<size_t>(piv) * u + col]))
+          piv = r2;
+      if (piv != col)
+        for (int j = 0; j < u; ++j) {
+          std::swap(g[static_cast<size_t>(col) * u + j],
+                    g[static_cast<size_t>(piv) * u + j]);
+          std::swap(inv[static_cast<size_t>(col) * u + j],
+                    inv[static_cast<size_t>(piv) * u + j]);
+        }
+      const cf d = g[static_cast<size_t>(col) * u + col];
+      for (int j = 0; j < u; ++j) {
+        g[static_cast<size_t>(col) * u + j] /= d;
+        inv[static_cast<size_t>(col) * u + j] /= d;
+      }
+      for (int r2 = 0; r2 < u; ++r2) {
+        if (r2 == col) continue;
+        const cf m = g[static_cast<size_t>(r2) * u + col];
+        if (m == cf(0, 0)) continue;
+        for (int j = 0; j < u; ++j) {
+          g[static_cast<size_t>(r2) * u + j] -=
+              m * g[static_cast<size_t>(col) * u + j];
+          inv[static_cast<size_t>(r2) * u + j] -=
+              m * inv[static_cast<size_t>(col) * u + j];
+        }
+      }
+    }
+    // W = H^H inv : [a][u]
+    cf* ws = as_cf(w) + static_cast<size_t>(sc) * a * u;
+    for (int i = 0; i < a; ++i)
+      for (int j = 0; j < u; ++j) {
+        cf acc(0, 0);
+        for (int k = 0; k < u; ++k)
+          acc += std::conj(hs[static_cast<size_t>(k) * a + i]) *
+                 inv[static_cast<size_t>(k) * u + j];
+        ws[static_cast<size_t>(i) * u + j] = acc;
+      }
+  }
+}
+
+// Apply the precoder (multiplyWithChannelInv, cpuLS.hpp:449-463):
+//   w: [s][a][u], x: [u][s]  ->  y: [a][s]
+void ofdm_apply_precoder(const float* w, const float* x, int s, int u, int a,
+                         float* y) {
+  const cf* wc = as_cf(w);
+  const cf* xc = as_cf(x);
+  cf* yc = as_cf(y);
+  for (int sc = 0; sc < s; ++sc)
+    for (int i = 0; i < a; ++i) {
+      cf acc(0, 0);
+      for (int k = 0; k < u; ++k)
+        acc += wc[(static_cast<size_t>(sc) * a + i) * u + k] *
+               xc[static_cast<size_t>(k) * s + sc];
+      yc[static_cast<size_t>(i) * s + sc] = acc;
+    }
+}
+
 }  // extern "C"

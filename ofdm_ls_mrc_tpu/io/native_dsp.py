@@ -44,6 +44,10 @@ def _load() -> ctypes.CDLL:
         lib.ofdm_demod_frame.argtypes = [_F32P, _F32P, ctypes.c_int, ctypes.c_int,
                                          ctypes.c_int, ctypes.c_int, _F32P]
         lib.ofdm_modulate.argtypes = [_F32P, ctypes.c_int, ctypes.c_int, _F32P]
+        lib.ofdm_zf_precoder.argtypes = [_F32P, ctypes.c_int, ctypes.c_int,
+                                         ctypes.c_int, _F32P]
+        lib.ofdm_apply_precoder.argtypes = [_F32P, _F32P, ctypes.c_int,
+                                            ctypes.c_int, ctypes.c_int, _F32P]
         _lib = lib
         return lib
 
@@ -113,4 +117,27 @@ def modulate_symbol(data: np.ndarray, cp: int = 0) -> np.ndarray:
     f = d.shape[-1] + 1
     out = np.empty(f + cp, np.complex64)
     lib.ofdm_modulate(_fp(d.view(np.float32)), f, cp, _fp(out.view(np.float32)))
+    return out
+
+
+def zf_precoder(h: np.ndarray) -> np.ndarray:
+    """Native per-subcarrier ZF precoder: [S, U, A] -> [S, A, U], h @ w == I."""
+    lib = _load()
+    hc = _c64(h)
+    s, u, a = hc.shape
+    out = np.empty((s, a, u), np.complex64)
+    lib.ofdm_zf_precoder(_fp(hc.view(np.float32)), s, u, a,
+                         _fp(out.view(np.float32)))
+    return out
+
+
+def apply_precoder(w: np.ndarray, x: np.ndarray) -> np.ndarray:
+    """Native precoder application: w [S, A, U], x [U, S] -> [A, S]."""
+    lib = _load()
+    wc = _c64(w)
+    xc = _c64(x)
+    s, a, u = wc.shape
+    out = np.empty((a, s), np.complex64)
+    lib.ofdm_apply_precoder(_fp(wc.view(np.float32)), _fp(xc.view(np.float32)),
+                            s, u, a, _fp(out.view(np.float32)))
     return out

@@ -58,3 +58,23 @@ def test_odd_size_dft_fallback(rng):
     x = crandn(rng, (63,))
     got = native_dsp.fft(x)
     np.testing.assert_allclose(got, np.fft.fft(x), atol=1e-3)
+
+
+def test_zf_precoder_matches_golden(rng):
+    s, u, a = 33, 4, 8
+    h = crandn(rng, (s, u, a))
+    got = native_dsp.zf_precoder(h)
+    want = dsp.zf_precoder(h)
+    np.testing.assert_allclose(got, want, rtol=2e-3, atol=2e-3)
+    # the ZF property itself: H @ W == I per subcarrier
+    prod = np.einsum("sua,sav->suv", h, got)
+    eye = np.broadcast_to(np.eye(u, dtype=np.complex64), (s, u, u))
+    np.testing.assert_allclose(prod, eye, atol=2e-3)
+
+
+def test_apply_precoder_matches_golden(rng):
+    s, u, a = 17, 2, 4
+    w = crandn(rng, (s, a, u))
+    x = crandn(rng, (u, s))
+    got = native_dsp.apply_precoder(w, x)
+    np.testing.assert_allclose(got, dsp.apply_precoder(w, x), atol=1e-4)
