@@ -272,8 +272,18 @@ def _resolve_interpret(interpret) -> bool:
     return interpret
 
 
+def _auto_ts(a: int, f: int) -> int:
+    """Symbol-tile height bounded by scoped VMEM: the kernel's live set
+    scales with ts*a*f (measured on v5e: ts=8 at 16 ant x 1024 fits in
+    ~11 MB of the 16 MB limit; 64 ant x 1024 at ts=8 demands 22.7 MB)."""
+    ts = 8
+    while ts > 1 and ts * a * f > 8 * 16 * 1024:
+        ts //= 2
+    return ts
+
+
 def fused_pipeline(y: CArray, hre: jnp.ndarray, him: jnp.ndarray,
-                   hsqinv: jnp.ndarray, *, ts: int = 8,
+                   hsqinv: jnp.ndarray, *, ts: int | None = None,
                    interpret=None, exact: bool = True) -> CArray:
     """FFT + channel-conjugate MRC over a data block.
 
@@ -294,6 +304,8 @@ def fused_pipeline(y: CArray, hre: jnp.ndarray, him: jnp.ndarray,
     if n1 & (n1 - 1) or n1 < 2 or n2 % 128:
         raise ValueError(f"fused_pipeline requires a (2^k, 128) split, got "
                          f"({n1}, {n2}) for F={f}")
+    if ts is None:
+        ts = _auto_ts(a, f)
 
     s_pad = ((s + ts - 1) // ts) * ts
     yre, yim = y.re, y.im
@@ -349,7 +361,7 @@ def fused_pipeline(y: CArray, hre: jnp.ndarray, him: jnp.ndarray,
 
 
 def demod_frame_fused(frame: CArray, x_full_perm: CArray, *, cp: int,
-                      ts: int = 8, interpret=None,
+                      ts: int | None = None, interpret=None,
                       exact: bool = True) -> CArray:
     """Drop-in for fastpath.demod_frame_fast backed by the fused kernel.
 
