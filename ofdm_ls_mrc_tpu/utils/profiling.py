@@ -38,15 +38,16 @@ def annotate(name: str):
     return jax.profiler.TraceAnnotation(name)
 
 
-def device_time(per_item: Callable, items, reps_hi: int = 21,
-                best_of: int = 3) -> float:
+def device_time(per_item: Callable, items, reps_hi: int = 101,
+                best_of: int = 4) -> float:
     """Seconds per item of ``per_item`` (a traceable fn CArray/pytree->pytree)
     applied across ``items`` (a stacked pytree), measured on-device.
 
     Builds jitted programs that scan ``per_item`` over the items R times with
     a scalar data dependency between repetitions (so nothing is elided) and
     returns (t(R_hi) - t(1)) / ((R_hi - 1) * K): fixed dispatch/sync overhead
-    cancels exactly.
+    cancels exactly.  Keep R_hi large: short bursts are dominated by host/
+    tunnel jitter (see docs/PERF.md, measurement methodology).
     """
     leaves = jax.tree_util.tree_leaves(items)
     k = leaves[0].shape[0]
