@@ -330,6 +330,35 @@ void copy_out(Ring* r, int64_t seq, float* out, int cp, int planar) {
   }
 }
 
+// Split-destination planar copy: re/im planes go to independent buffers
+// (the batch frame read fills [n][rows][keep] re and im frame planes).
+void copy_out_split(Ring* r, int64_t seq, float* re, float* im, int cp) {
+  RingHeader* h = r->hdr;
+  const int rows = h->rows, cols = h->cols;
+  const int keep = cols - cp;
+  const bool sc16 = h->fmt == FMT_SC16;
+  const char* base = slot_ptr(r, seq);
+  for (int i = 0; i < rows; ++i) {
+    float* rre = re + static_cast<size_t>(i) * keep;
+    float* rim = im + static_cast<size_t>(i) * keep;
+    if (!sc16) {
+      const float* row = reinterpret_cast<const float*>(base) +
+                         (static_cast<size_t>(i) * cols + cp) * 2;
+      for (int j = 0; j < keep; ++j) {
+        rre[j] = row[2 * j];
+        rim[j] = row[2 * j + 1];
+      }
+    } else {
+      const int16_t* row = reinterpret_cast<const int16_t*>(base) +
+                           (static_cast<size_t>(i) * cols + cp) * 2;
+      for (int j = 0; j < keep; ++j) {
+        rre[j] = row[2 * j] * kSc16Scale;
+        rim[j] = row[2 * j + 1] * kSc16Scale;
+      }
+    }
+  }
+}
+
 int read_impl(void* ring, float* out, int cp, int planar, double timeout_s) {
   Ring* r = static_cast<Ring*>(ring);
   if (!r || !out) return RING_BADARG;
@@ -365,6 +394,30 @@ int ring_wait_drained(void* ring, double timeout_s) {
 // Blocking read of the next symbol (readNextSymbol, ShMemSymBuff.hpp:237-297).
 int ring_read_next(void* ring, float* out, int cp, int planar, double timeout_s) {
   return read_impl(ring, out, cp, planar, timeout_s);
+}
+
+// Batch read: n consecutive symbols into planar frame planes
+// re/im [n][rows][cols-cp], spin-waiting per symbol natively -- one library
+// call per frame instead of per symbol (the whole-frame analogue of the
+// reference's per-symbol readNextSymbol loop, cpuLS_main.cpp:83-92).
+int ring_read_frame(void* ring, float* re, float* im, int n, int cp,
+                    double timeout_s) {
+  Ring* r = static_cast<Ring*>(ring);
+  if (!r || !re || !im || n <= 0) return RING_BADARG;
+  RingHeader* h = r->hdr;
+  if (cp < 0 || cp >= h->cols) return RING_BADARG;
+  const size_t plane = static_cast<size_t>(h->rows) * (h->cols - cp);
+
+  for (int k = 0; k < n; ++k) {
+    int64_t tail = h->tail.load(std::memory_order_relaxed);
+    int rc = spin_until(r, [&] {
+      return h->head.load(std::memory_order_acquire) > tail;
+    }, timeout_s);
+    if (rc != RING_OK) return rc;
+    copy_out_split(r, tail, re + plane * k, im + plane * k, cp);
+    h->tail.store(tail + 1, std::memory_order_release);
+  }
+  return RING_OK;
 }
 
 // readLastSymbol (ShMemSymBuff.hpp:300-331): real-time consumers read the

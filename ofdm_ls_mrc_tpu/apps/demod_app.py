@@ -122,6 +122,10 @@ def _make_feed(ring, cfg, cp_size, timer, catch_up=False):
         def read_next_planar(self, cp=0):
             return self._ring.read_next_planar(cp=self._cp)
 
+        def read_frame_planar(self, n, cp=0, out_re=None, out_im=None):
+            return self._ring.read_frame_planar(n, cp=self._cp,
+                                                out_re=out_re, out_im=out_im)
+
         @property
         def available(self):
             return self._ring.available

@@ -45,6 +45,10 @@ class FrameAssembler:
         self.im[self._slot] = im
         self._slot += 1
 
+    def mark_full(self) -> None:
+        """The batch read path fills re/im directly (read_frame_planar)."""
+        self._slot = self.cfg.frame_len
+
     def reset(self) -> None:
         self._slot = 0
 
@@ -109,13 +113,20 @@ class RingFeed:
                         self.ring.read_next_planar(cp=0)
                     if behind > 0:
                         self.skipped_frames += behind
-                for slot in range(self.cfg.frame_len):
-                    if self.timer:
-                        with self.timer.phase("read", slot):
+                if self.timer is None and hasattr(self.ring, "read_frame_planar"):
+                    # Bulk path: one native call spin-waits and copies the
+                    # whole frame straight into the assembler's planes.
+                    self.ring.read_frame_planar(self.cfg.frame_len, cp=cp,
+                                                out_re=buf.re, out_im=buf.im)
+                    buf.mark_full()
+                else:
+                    for slot in range(self.cfg.frame_len):
+                        if self.timer:
+                            with self.timer.phase("read", slot):
+                                re, im = self.ring.read_next_planar(cp=cp)
+                        else:
                             re, im = self.ring.read_next_planar(cp=cp)
-                    else:
-                        re, im = self.ring.read_next_planar(cp=cp)
-                    buf.push(re, im)
+                        buf.push(re, im)
                 self._ready.put(buf)
         except (RingShutdown, RingTimeout) as e:
             self._error = e

@@ -91,6 +91,10 @@ def _load() -> ctypes.CDLL:
             fn.restype = ctypes.c_int
             fn.argtypes = [ctypes.c_void_p, fptr, ctypes.c_int, ctypes.c_int,
                            ctypes.c_double]
+        lib.ring_read_frame.restype = ctypes.c_int
+        lib.ring_read_frame.argtypes = [ctypes.c_void_p, fptr, fptr,
+                                        ctypes.c_int, ctypes.c_int,
+                                        ctypes.c_double]
         _lib = lib
         return lib
 
@@ -214,6 +218,32 @@ class SymbolRing:
         """Blocking read deinterleaved to planar: (re, im) float32 [rows, cols-cp]."""
         out = self._read(self._lib.ring_read_next, cp, True, timeout)
         return out[0], out[1]
+
+    def read_frame_planar(self, n: int, cp: int = 0,
+                          out_re: Optional[np.ndarray] = None,
+                          out_im: Optional[np.ndarray] = None,
+                          timeout: Optional[float] = None
+                          ) -> Tuple[np.ndarray, np.ndarray]:
+        """Batch read: n symbols into planar frame planes [n, rows, cols-cp].
+
+        One native call spin-waits and copies per symbol -- the low-overhead
+        bulk ingest path for whole-frame consumers (io/feed.py).  Pass
+        preallocated C-contiguous float32 buffers to avoid allocation.
+        """
+        keep = self.cols - cp
+        shape = (n, self.rows, keep)
+        if out_re is None:
+            out_re = np.empty(shape, np.float32)
+        if out_im is None:
+            out_im = np.empty(shape, np.float32)
+        if out_re.shape != shape or out_im.shape != shape:
+            raise ValueError(f"out buffers must be {shape}")
+        rc = self._lib.ring_read_frame(
+            self._handle, out_re.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            out_im.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            n, cp, timeout or self._timeout)
+        _check(rc, "ring_read_frame")
+        return out_re, out_im
 
     def read_last(self, cp: int = 0, timeout: Optional[float] = None) -> np.ndarray:
         """readLastSymbol semantics: no wait-for-writer on cursor advance."""

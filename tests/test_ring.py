@@ -208,6 +208,34 @@ class TestCrossProcess:
         r.close()
 
 
+class TestBatchRead:
+    def test_read_frame_matches_per_symbol(self, pair, rng):
+        w, r = pair
+        syms = [_sym(rng) for _ in range(LEN - 1)]
+        for s in syms:
+            w.write(s)
+        re, im = r.read_frame_planar(LEN - 1, cp=CP)
+        want = np.stack(syms)[:, :, CP:]
+        np.testing.assert_array_equal(re + 1j * im, want)
+
+    def test_read_frame_preallocated(self, pair, rng):
+        w, r = pair
+        syms = [_sym(rng) for _ in range(3)]
+        for s in syms:
+            w.write(s)
+        keep = COLS - CP
+        bre = np.empty((3, ROWS, keep), np.float32)
+        bim = np.empty((3, ROWS, keep), np.float32)
+        re, im = r.read_frame_planar(3, cp=CP, out_re=bre, out_im=bim)
+        assert re is bre and im is bim
+        np.testing.assert_array_equal(re + 1j * im, np.stack(syms)[:, :, CP:])
+
+    def test_read_frame_times_out(self, pair):
+        _, r = pair
+        with pytest.raises(RingTimeout):
+            r.read_frame_planar(2, cp=0, timeout=0.2)
+
+
 class TestReadLast:
     def test_read_last_skips_backlog(self, pair, rng):
         """readLastSymbol semantics (ShMemSymBuff.hpp:300-331; used per data

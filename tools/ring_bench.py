@@ -1,0 +1,101 @@
+"""Native shm-ring ingest throughput: producer process -> consumer process.
+
+The ingest side of the real-time budget: how fast symbols move through the
+POSIX shm ring including the consumer-side CP-drop + planar deinterleave
+(and sc16->float conversion when --dtype sc16).  The reference's analogue is
+its per-symbol read timer (ShMemSymBuff.hpp:150).  Prints one JSON line.
+
+Run:  python tools/ring_bench.py --antennas 16 --fft 1024 --cp 72 --dtype sc16
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import multiprocessing as mp
+import os
+import sys
+import time
+import uuid
+
+import numpy as np
+
+sys.path.insert(0, os.path.abspath(os.path.join(os.path.dirname(__file__), "..")))
+
+
+def _producer(uid, rows, cols, length, n, dtype):
+    from ofdm_ls_mrc_tpu.io.ring import SymbolRing
+
+    w = SymbolRing(uid, rows, cols, length, master=True, timeout=60.0,
+                   dtype=dtype)
+    rng = np.random.default_rng(0)
+    if dtype == "sc16":
+        sym = rng.integers(-30000, 30000, size=(rows, 2 * cols), dtype=np.int16)
+    else:
+        sym = (rng.standard_normal((rows, cols))
+               + 1j * rng.standard_normal((rows, cols))).astype(np.complex64)
+    for _ in range(n):
+        w.write(sym, wait=True, timeout=60.0)
+    w.wait_drained(60.0)
+    w.close()
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--antennas", type=int, default=16)
+    ap.add_argument("--fft", type=int, default=1024)
+    ap.add_argument("--cp", type=int, default=72)
+    ap.add_argument("--len", type=int, default=101, dest="length")
+    ap.add_argument("--symbols", type=int, default=20000)
+    ap.add_argument("--dtype", default="complex64", choices=["complex64", "sc16"])
+    ap.add_argument("--batch", action="store_true",
+                    help="consume via the one-call-per-frame batch read")
+    args = ap.parse_args()
+
+    from ofdm_ls_mrc_tpu.io.ring import SymbolRing
+
+    cols = args.fft + args.cp
+    uid = f"/ringbench_{uuid.uuid4().hex[:8]}"
+    ctx = mp.get_context("spawn")
+    p = ctx.Process(target=_producer, args=(uid, args.antennas, cols,
+                                            args.length, args.symbols,
+                                            args.dtype))
+    p.start()
+    r = SymbolRing(uid, args.antennas, cols, args.length, master=False,
+                   timeout=60.0, dtype=args.dtype)
+    # Warm both sides, then time steady-state reads.
+    r.read_next_planar(cp=args.cp)
+    n_timed = args.symbols - 1
+    t0 = time.perf_counter()
+    if args.batch:
+        keep = cols - args.cp
+        bre = np.empty((args.length, args.antennas, keep), np.float32)
+        bim = np.empty_like(bre)
+        left = n_timed
+        while left > 0:
+            chunk = min(left, args.length)
+            r.read_frame_planar(chunk, cp=args.cp, out_re=bre[:chunk],
+                                out_im=bim[:chunk])
+            left -= chunk
+    else:
+        for _ in range(n_timed):
+            r.read_next_planar(cp=args.cp)
+    dt = time.perf_counter() - t0
+    p.join(timeout=60)
+    r.close()
+
+    sps = (args.symbols - 1) / dt
+    elem = 4 if args.dtype == "sc16" else 8
+    gbps = sps * args.antennas * cols * elem / 1e9
+    print(json.dumps({
+        "metric": f"ring_symbols_per_sec[{args.dtype}]",
+        "value": round(sps, 1),
+        "unit": "symbols/s",
+        "shm_GB_per_s": round(gbps, 2),
+        "geometry": f"{args.antennas}x{cols}x{args.length}",
+    }))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
