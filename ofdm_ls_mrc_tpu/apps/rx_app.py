@@ -51,6 +51,10 @@ def build_parser() -> argparse.ArgumentParser:
                     help="backpressured writes (default: no-wait like live RX)")
     ap.add_argument("--dump-aligned", action="store_true",
                     help="dump aligned captures per channel like the reference")
+    ap.add_argument("--file-format", default="cf32",
+                    choices=["cf32", "sc16"],
+                    help="capture file sample format: cf32 = complex64, "
+                         "sc16 = interleaved int16 IQ (USRP wire format)")
     ap.add_argument("--ring-dtype", default="complex64",
                     choices=["complex64", "sc16"],
                     help="shm element format; sc16 halves ring bandwidth "
@@ -59,8 +63,12 @@ def build_parser() -> argparse.ArgumentParser:
     return ap
 
 
-def load_capture(path: str, antennas: int) -> np.ndarray:
-    raw = np.fromfile(path, dtype=np.complex64)
+def load_capture(path: str, antennas: int, fmt: str = "cf32") -> np.ndarray:
+    if fmt == "sc16":
+        iq = np.fromfile(path, dtype=np.int16).astype(np.float32) / 32767.0
+        raw = (iq[0::2] + 1j * iq[1::2]).astype(np.complex64)
+    else:
+        raw = np.fromfile(path, dtype=np.complex64)
     if antennas == 1:
         return raw.reshape(1, -1)
     if raw.size % antennas:
@@ -83,7 +91,7 @@ def main(argv=None) -> int:
         print("no --file given: nothing to play", file=sys.stderr)
         return 2
 
-    samples = load_capture(args.file, args.antennas)   # [A, N]
+    samples = load_capture(args.file, args.antennas, args.file_format)  # [A, N]
     sym_len = args.fft_size + args.cp_size
     frame_samps = args.frame_len * sym_len
 

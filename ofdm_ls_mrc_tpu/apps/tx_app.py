@@ -32,6 +32,9 @@ def build_parser() -> argparse.ArgumentParser:
                          "--same-time, tx_same_seq_no_udp.cpp:269-298)")
     # Framework-specific.
     ap.add_argument("--out", required=True, help="output IQ capture file")
+    ap.add_argument("--out-format", default="cf32", choices=["cf32", "sc16"],
+                    help="capture sample format: cf32 = complex64, sc16 = "
+                         "interleaved int16 IQ (clipped to full scale)")
     ap.add_argument("--in-file", default=None,
                     help="optional subcarrier data file (complex64, rows of "
                          "F-1); default: random QPSK")
@@ -54,6 +57,16 @@ def build_parser() -> argparse.ArgumentParser:
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--modulation", default="qpsk", choices=["qpsk", "16qam"])
     return ap
+
+
+def _write_capture(arr: np.ndarray, path: str, fmt: str) -> None:
+    """Write complex64 samples as cf32 or clipped full-scale sc16."""
+    c = np.ascontiguousarray(arr, dtype=np.complex64)
+    if fmt == "sc16":
+        iq = np.round(np.clip(c.view(np.float32) * 32767.0, -32767, 32767))
+        iq.astype(np.int16).tofile(path)
+    else:
+        c.tofile(path)
 
 
 def main(argv=None) -> int:
@@ -96,11 +109,11 @@ def main(argv=None) -> int:
             # Preamble passes through a flat unit channel (sync only).
             pn_part = np.broadcast_to(stream[:pre], (args.antennas, pre))
             out = np.concatenate([pn_part, out], axis=1)
-        out.astype(np.complex64).tofile(args.out)
+        _write_capture(out, args.out, args.out_format)
     else:
         streams = np.broadcast_to(
             stream, ((args.antennas if args.same_time else 1), stream.size))
-        streams.astype(np.complex64).tofile(args.out)
+        _write_capture(streams, args.out, args.out_format)
 
     if args.data_out:
         np.concatenate(sent).astype(np.complex64).tofile(args.data_out)

@@ -83,6 +83,50 @@ def test_three_process_loopback(workdir, ring_dtype):
     assert "ChanEst" in dm_out  # timing table printed
 
 
+def test_sc16_capture_file_roundtrip(workdir):
+    """tx_app --out-format sc16 -> rx_app --file-format sc16: the int16 IQ
+    capture path (USRP wire format) through PN sync and the ring."""
+    cap = str(workdir / "capture_sc16.dat")
+    sent = str(workdir / "sent.dat")
+    out = str(workdir / "Output_tpu.dat")
+    uid = f"/ofdm_app_{uuid.uuid4().hex[:8]}"
+    common = ["--antennas", str(A), "--fft-size", str(F),
+              "--cp-size", str(CP), "--frame-len", str(S)]
+    r = run(["ofdm_ls_mrc_tpu.apps.tx_app", "--out", cap, "--data-out", sent,
+             "--out-format", "sc16", "--pn-preamble", "--snr", "35",
+             "--channel-taps", "4",
+             "--pilots", str(workdir / "none.dat"),
+             "--pn-file", str(workdir / "none.dat")] + common
+            + ["--num-frames", "1"])
+    assert r.returncode == 0, r.stderr
+    assert np.fromfile(cap, dtype=np.int16).size > 0
+
+    rx = subprocess.Popen(
+        [sys.executable, "-m", "ofdm_ls_mrc_tpu.apps.rx_app", "--file", cap,
+         "--file-format", "sc16", "--shm-uid", uid, "--thres", "0.05",
+         "--wait-writes", "--pn-file", str(workdir / "none.dat"),
+         "--num-frames", "1"] + common,
+        cwd=REPO, env=ENV_BASE, stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+        text=True)
+    dm = subprocess.Popen(
+        [sys.executable, "-m", "ofdm_ls_mrc_tpu.apps.demod_app",
+         "--shm-uid", uid, "--output", out, "--num-frames", "1",
+         "--pilots", str(workdir / "none.dat")] + common,
+        cwd=REPO, env=ENV_BASE, stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+        text=True)
+    rx_out, rx_err = rx.communicate(timeout=300)
+    dm_out, dm_err = dm.communicate(timeout=300)
+    assert rx.returncode == 0, rx_err + rx_out
+    assert dm.returncode == 0, dm_err + dm_out
+
+    got = np.fromfile(out, dtype=np.complex64).reshape(S - 1, F - 1)
+    want = np.fromfile(sent, dtype=np.complex64).reshape(S - 1, F - 1)
+    got_natural = np.fft.fftshift(got, axes=-1)
+    evm = 10 * np.log10(np.mean(np.abs(got_natural - want) ** 2)
+                        / np.mean(np.abs(want) ** 2))
+    assert evm < -25.0, f"EVM {evm:.1f} dB"
+
+
 def test_rx_app_no_peak_errors_cleanly(workdir):
     cap = str(workdir / "noise.dat")
     rng = np.random.default_rng(0)
