@@ -30,7 +30,7 @@ import time
 import numpy as np
 
 
-def _make_repeated(demod_xp, frames_c, x_perm, reps: int):
+def _make_repeated(demod_xp, reps: int):
     """Repeat-R program with the anti-elision data dependency threaded through
     the [F] pilot reference (a trivial add) rather than the 13 MB frame
     tensor: every repetition computes a genuinely different channel estimate
@@ -69,7 +69,8 @@ def bench_tpu(cfg, pilot, frames: np.ndarray, reps: int,
     cf = CArray.from_numpy(frames)
     cf = CArray(jax.device_put(cf.re), jax.device_put(cf.im))
     x_perm = prepare_pilot_fast(pilot, cfg.fft_size)
-    if pipeline == "fused" and _fast_split(cfg.fft_size) == (8, 128):
+    n1, n2 = _fast_split(cfg.fft_size)
+    if pipeline == "fused" and not (n1 & (n1 - 1)) and n1 >= 2 and n2 % 128 == 0:
         from ofdm_ls_mrc_tpu.ops.pallas_pipeline import demod_frame_fused
         demod_xp = functools.partial(demod_frame_fused, cp=cfg.cyclic_prefix)
     else:
@@ -77,7 +78,7 @@ def bench_tpu(cfg, pilot, frames: np.ndarray, reps: int,
     demod_xp_kw = lambda x, xp: demod_xp(x, x_full_perm=xp)
 
     def timed(r):
-        f = _make_repeated(demod_xp_kw, cf, x_perm, r)
+        f = _make_repeated(demod_xp_kw, r)
         float(f(cf, x_perm))  # compile + warm
         best = float("inf")
         for _ in range(reps):

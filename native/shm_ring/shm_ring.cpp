@@ -138,11 +138,36 @@ void* ring_open_fmt(const char* uid, int rows, int cols, int len, int master,
   size_t bytes = sizeof(RingHeader) +
                  elem_bytes(fmt) * static_cast<size_t>(rows) * cols * 2 * len;
 
-  int fd = shm_open(uid, O_CREAT | O_RDWR, S_IRUSR | S_IWUSR);
-  if (fd < 0) return nullptr;
-  if (ftruncate(fd, static_cast<off_t>(bytes)) != 0) {
-    close(fd);
-    return nullptr;
+  // Only the master creates and sizes the segment.  A slave must never
+  // ftruncate: with mismatched geometry/format its computed size could
+  // SHRINK the live segment under the master's mapping (SIGBUS on the next
+  // producer write).  The slave attaches to whatever exists -- retrying
+  // until the master has created it -- and validates against the header.
+  int fd = -1;
+  if (master) {
+    fd = shm_open(uid, O_CREAT | O_RDWR, S_IRUSR | S_IWUSR);
+    if (fd < 0) return nullptr;
+    if (ftruncate(fd, static_cast<off_t>(bytes)) != 0) {
+      close(fd);
+      return nullptr;
+    }
+  } else {
+    auto deadline = Clock::now() + std::chrono::duration_cast<Clock::duration>(
+                                       std::chrono::duration<double>(timeout_s));
+    for (;;) {
+      fd = shm_open(uid, O_RDWR, 0);
+      if (fd >= 0) {
+        struct stat st;
+        if (fstat(fd, &st) == 0 &&
+            static_cast<size_t>(st.st_size) >= bytes) {
+          break;  // master created and sized it (it truncates before init)
+        }
+        close(fd);
+        fd = -1;
+      }
+      if (Clock::now() >= deadline) return nullptr;
+      std::this_thread::yield();
+    }
   }
   void* mem = mmap(nullptr, bytes, PROT_READ | PROT_WRITE, MAP_SHARED, fd, 0);
   close(fd);
@@ -418,6 +443,20 @@ int ring_read_frame(void* ring, float* re, float* im, int n, int cp,
     h->tail.store(tail + 1, std::memory_order_release);
   }
   return RING_OK;
+}
+
+// Discard up to n unread symbols without copying (O(1) cursor advance);
+// returns how many were skipped.  The cheap backlog drop for real-time
+// catch-up consumers (frame-aligned skipping lives in io/feed.py).
+int ring_skip(void* ring, int n) {
+  Ring* r = static_cast<Ring*>(ring);
+  if (!r || n < 0) return RING_BADARG;
+  RingHeader* h = r->hdr;
+  int64_t tail = h->tail.load(std::memory_order_relaxed);
+  int64_t avail = h->head.load(std::memory_order_acquire) - tail;
+  int64_t skip = avail < n ? avail : n;
+  if (skip > 0) h->tail.store(tail + skip, std::memory_order_release);
+  return static_cast<int>(skip);
 }
 
 // readLastSymbol (ShMemSymBuff.hpp:300-331): real-time consumers read the

@@ -106,13 +106,13 @@ class RingFeed:
                 buf.reset()
                 if self.catch_up:
                     # Leave the freshest (possibly partial) frame in the ring
-                    # and discard everything older, one whole frame at a time.
+                    # and discard everything older, whole frames at a time
+                    # (O(1) native cursor advance, no copies).
                     fl = self.cfg.frame_len
                     behind = (self.ring.available // fl) - 1
-                    for _ in range(max(0, behind) * fl):
-                        self.ring.read_next_planar(cp=0)
                     if behind > 0:
-                        self.skipped_frames += behind
+                        skipped = self.ring.skip(behind * fl)
+                        self.skipped_frames += skipped // fl
                 if self.timer is None and hasattr(self.ring, "read_frame_planar"):
                     # Bulk path: one native call spin-waits and copies the
                     # whole frame straight into the assembler's planes.

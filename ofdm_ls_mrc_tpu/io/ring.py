@@ -95,6 +95,8 @@ def _load() -> ctypes.CDLL:
         lib.ring_read_frame.argtypes = [ctypes.c_void_p, fptr, fptr,
                                         ctypes.c_int, ctypes.c_int,
                                         ctypes.c_double]
+        lib.ring_skip.restype = ctypes.c_int
+        lib.ring_skip.argtypes = [ctypes.c_void_p, ctypes.c_int]
         _lib = lib
         return lib
 
@@ -168,6 +170,7 @@ class SymbolRing:
         with the UHD full-scale factor here).
         """
         if self.dtype == "sc16":
+            symbol = np.asarray(symbol)
             if symbol.dtype == np.int16:
                 sym = np.ascontiguousarray(symbol)
                 if sym.shape != (self.rows, 2 * self.cols):
@@ -236,8 +239,11 @@ class SymbolRing:
             out_re = np.empty(shape, np.float32)
         if out_im is None:
             out_im = np.empty(shape, np.float32)
-        if out_re.shape != shape or out_im.shape != shape:
-            raise ValueError(f"out buffers must be {shape}")
+        for name, buf in (("out_re", out_re), ("out_im", out_im)):
+            if buf.shape != shape:
+                raise ValueError(f"{name} must have shape {shape}")
+            if buf.dtype != np.float32 or not buf.flags["C_CONTIGUOUS"]:
+                raise ValueError(f"{name} must be C-contiguous float32")
         rc = self._lib.ring_read_frame(
             self._handle, out_re.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
             out_im.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
@@ -245,8 +251,16 @@ class SymbolRing:
         _check(rc, "ring_read_frame")
         return out_re, out_im
 
+    def skip(self, n: int) -> int:
+        """Discard up to n unread symbols without copying; returns the count
+        actually skipped (O(1) cursor advance)."""
+        return self._lib.ring_skip(self._handle, n)
+
     def read_last(self, cp: int = 0, timeout: Optional[float] = None) -> np.ndarray:
-        """readLastSymbol semantics: no wait-for-writer on cursor advance."""
+        """readLastSymbol semantics (ShMemSymBuff.hpp:300-331): deliver the
+        MOST RECENTLY written symbol and silently discard any older backlog
+        (the reference GPU loop reads this way for every data symbol,
+        gpuLS.cu:419-424).  Blocks only when the ring is empty."""
         return self._read(self._lib.ring_read_last, cp, False, timeout)
 
     def read_last_planar(self, cp: int = 0,

@@ -254,6 +254,16 @@ class TestReadLast:
         with pytest.raises(RingTimeout):
             r.read_last(cp=0, timeout=0.2)
 
+    def test_skip_discards_without_copy(self, pair, rng):
+        w, r = pair
+        syms = [_sym(rng) for _ in range(4)]
+        for s in syms:
+            w.write(s)
+        assert r.skip(2) == 2
+        np.testing.assert_array_equal(r.read_next(cp=0), syms[2])
+        assert r.skip(10) == 1  # only one left; skip is clamped
+        assert r.available == 0
+
 
 class TestSc16Ring:
     """sc16 element format: int16 IQ in shm, float planar out (reference
@@ -299,6 +309,26 @@ class TestSc16Ring:
         try:
             with pytest.raises(RingError):
                 SymbolRing(uid, ROWS, COLS, LEN, master=False, timeout=0.5)
+        finally:
+            m.close()
+
+    def test_mismatched_slave_cannot_damage_master(self, rng):
+        """The shrink direction: a cf32 master must survive a smaller-footprint
+        sc16 slave's failed attach (the slave must never ftruncate)."""
+        uid = _uid()
+        m = SymbolRing(uid, ROWS, COLS, LEN, master=True, timeout=5.0)
+        try:
+            with pytest.raises(RingError):
+                SymbolRing(uid, ROWS, COLS, LEN, master=False, timeout=0.5,
+                           dtype="sc16")
+            # Master keeps working across the whole (untruncated) segment.
+            r = SymbolRing(uid, ROWS, COLS, LEN, master=False, timeout=5.0)
+            syms = [_sym(rng) for _ in range(LEN - 1)]
+            for s in syms:
+                m.write(s)  # would SIGBUS here if the segment had shrunk
+            for s in syms:
+                np.testing.assert_array_equal(r.read_next(cp=0), s)
+            r.close()
         finally:
             m.close()
 
