@@ -188,37 +188,48 @@ def _stage2_dots(bre, bim, wcat_hi, wcat_lo, n2: int, exact: bool = True):
 def _kernel(yre_ref, yim_ref, hre_ref, him_ref, hsqinv_ref,
             twre_ref, twim_ref, *rest, ts: int, a: int, n1: int, n2: int,
             exact: bool = True):
-    r = ts * a
+    """Per-symbol software interleave in straight-line code: stage 1 (VPU
+    butterflies + twiddle) of symbol k+1 is issued BEFORE stage 2 + MRC
+    (MXU dots + reduce) of symbol k.  The chains are data-independent, so
+    Mosaic's scheduler overlaps vector and matrix work (~8% end-to-end;
+    predicated @pl.when pipelining across grid steps measured slower --
+    docs/PERF.md)."""
     n_tw_stages = max(n1.bit_length() - 2, 0)   # all radix-2 stages but span-1
     stage_refs = rest[:2 * n_tw_stages]
     wch_ref, wcl_ref, outre_ref, outim_ref = rest[2 * n_tw_stages:]
-
-    # ---- Stage 1: n1-point DFT over the sublane dim, whole-tensor rolls ----
-    xr = yre_ref[:].reshape(r, n1, n2)
-    xi = yim_ref[:].reshape(r, n1, n2)
     consts = [(stage_refs[2 * i][:][None], stage_refs[2 * i + 1][:][None])
               for i in range(n_tw_stages)]
-    ar, ai = _dif_sublane(xr, xi, r, n1, n2, consts)
-    # [r, k1_br, i2], bit-reversed k1
-
-    # ---- Four-step twiddle (rows pre-reordered to bit-reversed k1) ----
     twre, twim = twre_ref[:][None], twim_ref[:][None]
-    bre = (ar * twre - ai * twim).reshape(r * n1, n2)
-    bim = (ar * twim + ai * twre).reshape(r * n1, n2)
-
-    # ---- Stage 2: complex GEMM as two big bf16-split dots, fp32 accum ----
-    c2re, c2im = _stage2_dots(bre, bim, wch_ref[:], wcl_ref[:], n2, exact=exact)
-    cre = c2re.reshape(ts, a, n1, n2)
-    cim = c2im.reshape(ts, a, n1, n2)
-
-    # ---- MRC: multiply by conj-channel (pre-permuted), reduce antennas ----
     hre = hre_ref[:][None]
     him = him_ref[:][None]
-    num_re = jnp.sum(cre * hre + cim * him, axis=1)
-    num_im = jnp.sum(cim * hre - cre * him, axis=1)
     inv = hsqinv_ref[:][None]
-    outre_ref[:] = num_re * inv
-    outim_ref[:] = num_im * inv
+
+    def stage1(lo):
+        # n1-point DFT over the sublane dim (whole-tensor rolls) + twiddle;
+        # output [a*n1, n2] rows in bit-reversed k1 order.
+        xr = yre_ref[lo:lo + 1].reshape(a, n1, n2)
+        xi = yim_ref[lo:lo + 1].reshape(a, n1, n2)
+        ar, ai = _dif_sublane(xr, xi, a, n1, n2, consts)
+        return ((ar * twre - ai * twim).reshape(a * n1, n2),
+                (ar * twim + ai * twre).reshape(a * n1, n2))
+
+    def stage2_mrc(b, lo):
+        bre, bim = b
+        c2re, c2im = _stage2_dots(bre, bim, wch_ref[:], wcl_ref[:], n2,
+                                  exact=exact)
+        cre = c2re.reshape(1, a, n1, n2)
+        cim = c2im.reshape(1, a, n1, n2)
+        num_re = jnp.sum(cre * hre + cim * him, axis=1)
+        num_im = jnp.sum(cim * hre - cre * him, axis=1)
+        outre_ref[lo:lo + 1] = num_re * inv
+        outim_ref[lo:lo + 1] = num_im * inv
+
+    b_prev = stage1(0)
+    for k in range(1, ts):
+        b_next = stage1(k)           # VPU chain, independent of the dots below
+        stage2_mrc(b_prev, k - 1)    # MXU chain for the previous symbol
+        b_prev = b_next
+    stage2_mrc(b_prev, ts - 1)
 
 
 @functools.lru_cache(maxsize=None)
