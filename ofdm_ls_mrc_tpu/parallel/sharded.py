@@ -179,11 +179,32 @@ class ShardedUplinkReceiver:
             check_vma=(pipeline != "fused"),
         )
         self._demod = jax.jit(mapped)
+        self._demod_capture = None  # built lazily by demod_capture
 
     def demod_frame(self, frame) -> CArray:
         """[S, A, F+cp] (host complex64 or planar CArray) -> [S-1, F-1]."""
         c = frame if isinstance(frame, CArray) else CArray.from_numpy(frame)
         return self._demod(c[0], c[1:], self.x_full)
+
+    def demod_capture(self, frames) -> CArray:
+        """[K, S, A, F+cp] capture -> [K, S-1, F-1], one dispatch.
+
+        A jitted ``lax.scan`` over whole frames of the sharded step: each
+        frame's pilot refreshes the estimate, time-blocks stay sharded over
+        the mesh, and the host re-enters only once per capture.
+        """
+        if self._demod_capture is None:
+            demod = self._demod
+
+            def capture(frs: CArray, xf) -> CArray:
+                def body(_, x):
+                    return None, demod(x[0], x[1:], xf)
+                _, out = jax.lax.scan(body, None, frs)
+                return out
+
+            self._demod_capture = jax.jit(capture)
+        c = frames if isinstance(frames, CArray) else CArray.from_numpy(frames)
+        return self._demod_capture(c, self.x_full)
 
     def demod_pilot_data(self, pilot: CArray, data: CArray) -> CArray:
         """Pre-split, possibly device-resident inputs: pilot [A, N], data [S-1, A, N]."""

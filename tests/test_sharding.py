@@ -54,6 +54,15 @@ def test_sharded_matches_single_device(rng, devices):
     np.testing.assert_allclose(got, single, atol=1e-4)
 
 
+def test_sharded_capture_matches_per_frame(rng, devices):
+    pilot = np.exp(2j * np.pi * rng.random(CFG.num_subcarriers)).astype(np.complex64)
+    cap = crandn(rng, (3, CFG.frame_len, CFG.num_antennas, CFG.symbol_len))
+    rx = ShardedUplinkReceiver(CFG, pilot, make_mesh(4, 2), fft_impl="four_step")
+    got = rx.demod_capture(cap).to_numpy()
+    want = np.stack([rx.demod_frame(cap[k]).to_numpy() for k in range(3)])
+    np.testing.assert_allclose(got, want, atol=1e-5)
+
+
 def test_sharded_fused_kernel_matches_golden(rng, devices):
     """pipeline='fused' shard body (Pallas kernel per ant shard, deferred
     normalization, one psum) at the kernel-supported 1024-point geometry."""
