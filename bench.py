@@ -114,7 +114,7 @@ def main():
                     help="timing repetitions per R setting (best-of)")
     ap.add_argument("--batch", type=int, default=20,
                     help="device-resident frames per measurement")
-    ap.add_argument("--golden-reps", type=int, default=3)
+    ap.add_argument("--golden-reps", type=int, default=5)
     ap.add_argument("--antennas", type=int, default=16)
     ap.add_argument("--fft", type=int, default=1024)
     ap.add_argument("--cp", type=int, default=72)
