@@ -62,15 +62,14 @@ def bench_tpu(cfg, pilot, frames: np.ndarray, reps: int,
     import jax
 
     from ofdm_ls_mrc_tpu.ops.cplx import CArray
-    from ofdm_ls_mrc_tpu.ops.fastpath import (_fast_split, demod_frame_fast,
-                                              prepare_pilot_fast)
+    from ofdm_ls_mrc_tpu.ops.fastpath import demod_frame_fast, prepare_pilot_fast
 
     k = frames.shape[0]
     cf = CArray.from_numpy(frames)
     cf = CArray(jax.device_put(cf.re), jax.device_put(cf.im))
     x_perm = prepare_pilot_fast(pilot, cfg.fft_size)
-    n1, n2 = _fast_split(cfg.fft_size)
-    if pipeline == "fused" and not (n1 & (n1 - 1)) and n1 >= 2 and n2 % 128 == 0:
+    from ofdm_ls_mrc_tpu.ops.pallas_pipeline import supports_fused
+    if pipeline == "fused" and supports_fused(cfg.fft_size):
         from ofdm_ls_mrc_tpu.ops.pallas_pipeline import demod_frame_fused
         demod_xp = functools.partial(demod_frame_fused, cp=cfg.cyclic_prefix)
     else:

@@ -130,6 +130,9 @@ def _make_feed(ring, cfg, cp_size, timer, catch_up=False):
         def available(self):
             return self._ring.available
 
+        def skip(self, n):
+            return self._ring.skip(n)
+
         def shutdown(self):
             self._ring.shutdown()
 

@@ -65,8 +65,8 @@ def build_parser() -> argparse.ArgumentParser:
 
 def load_capture(path: str, antennas: int, fmt: str = "cf32") -> np.ndarray:
     if fmt == "sc16":
-        iq = np.fromfile(path, dtype=np.int16).astype(np.float32) / 32767.0
-        raw = (iq[0::2] + 1j * iq[1::2]).astype(np.complex64)
+        from ..golden.io import sc16_to_complex
+        raw = sc16_to_complex(np.fromfile(path, dtype=np.int16))
     else:
         raw = np.fromfile(path, dtype=np.complex64)
     if antennas == 1:

@@ -63,8 +63,8 @@ def _write_capture(arr: np.ndarray, path: str, fmt: str) -> None:
     """Write complex64 samples as cf32 or clipped full-scale sc16."""
     c = np.ascontiguousarray(arr, dtype=np.complex64)
     if fmt == "sc16":
-        iq = np.round(np.clip(c.view(np.float32) * 32767.0, -32767, 32767))
-        iq.astype(np.int16).tofile(path)
+        from ..golden.io import complex_to_sc16
+        complex_to_sc16(c).tofile(path)
     else:
         c.tofile(path)
 

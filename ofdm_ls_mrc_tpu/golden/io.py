@@ -87,3 +87,34 @@ def store_times(path: str, read_avg: float, chanest: float, decode_avg: float,
 
 def load_times(path: str) -> np.ndarray:
     return np.fromfile(path, dtype=np.float32, count=5)
+
+
+# ---------------------------------------------------------------------------
+# sc16 <-> complex64 conversion (UHD wire / capture format, single source of
+# truth for the full-scale convention used by the ring, tx_app and rx_app)
+# ---------------------------------------------------------------------------
+
+SC16_FULL_SCALE = 32767.0
+
+
+def complex_to_sc16(c: np.ndarray) -> np.ndarray:
+    """complex64 -> interleaved int16 IQ, clipped to full scale.
+
+    The trailing axis doubles (re, im interleaved); shape otherwise kept.
+    """
+    c = np.ascontiguousarray(c, dtype=np.complex64)
+    iq = np.round(np.clip(c.view(np.float32) * SC16_FULL_SCALE,
+                          -SC16_FULL_SCALE, SC16_FULL_SCALE))
+    return iq.astype(np.int16)
+
+
+def sc16_to_complex(iq: np.ndarray) -> np.ndarray:
+    """Interleaved int16 IQ -> complex64 (full scale -> 1.0).
+
+    A trailing odd sample (truncated capture) is dropped.
+    """
+    iq = np.asarray(iq, dtype=np.int16).reshape(-1)
+    if iq.size % 2:
+        iq = iq[:-1]
+    f = iq.astype(np.float32) / SC16_FULL_SCALE
+    return (f[0::2] + 1j * f[1::2]).astype(np.complex64)

@@ -177,12 +177,12 @@ class SymbolRing:
                     raise ValueError(
                         f"sc16 symbol shape {sym.shape} != ({self.rows}, {2 * self.cols})")
             else:
+                from ..golden.io import complex_to_sc16
                 c = np.ascontiguousarray(symbol, dtype=np.complex64)
                 if c.shape != (self.rows, self.cols):
                     raise ValueError(
                         f"symbol shape {c.shape} != ({self.rows}, {self.cols})")
-                sym = np.round(np.clip(c.view(np.float32) * 32767.0,
-                                       -32767, 32767)).astype(np.int16)
+                sym = complex_to_sc16(c)
             rc = self._lib.ring_write_sc16(
                 self._handle, sym.ctypes.data_as(ctypes.POINTER(ctypes.c_int16)),
                 1 if wait else 0, timeout or self._timeout)
@@ -254,7 +254,10 @@ class SymbolRing:
     def skip(self, n: int) -> int:
         """Discard up to n unread symbols without copying; returns the count
         actually skipped (O(1) cursor advance)."""
-        return self._lib.ring_skip(self._handle, n)
+        rc = self._lib.ring_skip(self._handle, n)
+        if rc < 0:
+            _check(rc, "ring_skip")
+        return rc
 
     def read_last(self, cp: int = 0, timeout: Optional[float] = None) -> np.ndarray:
         """readLastSymbol semantics (ShMemSymBuff.hpp:300-331): deliver the

@@ -111,9 +111,8 @@ class UplinkReceiver:
         # a donated buffer -- it only emits warnings.
         kw = dict(cp=cfg.cyclic_prefix, fft_impl=self.fft_impl)
         donate_args = (0,) if donate else ()
-        from ..ops.fastpath import _fast_split
-        n1, n2 = _fast_split(cfg.fft_size)
-        if pipeline == "fused" and (n1 & (n1 - 1) or n1 < 2 or n2 % 128):
+        from ..ops.pallas_pipeline import supports_fused
+        if pipeline == "fused" and not supports_fused(cfg.fft_size):
             pipeline = self.pipeline = "fast"
         if pipeline == "fused" and self.fft_impl != "xla":
             from ..ops import pallas_pipeline

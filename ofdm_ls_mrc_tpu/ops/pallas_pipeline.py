@@ -275,6 +275,14 @@ def to_reference_order(eq: CArray, f: int) -> CArray:
     return CArray(fix(eq.re), fix(eq.im))
 
 
+def supports_fused(fft_size: int) -> bool:
+    """True when the fused kernel covers this FFT size: the fast split must
+    be (2^k, multiple of 128).  Single source of truth for every caller's
+    fused-vs-fast routing (UplinkReceiver, ShardedUplinkReceiver, bench)."""
+    n1, n2 = _fast_split(fft_size)
+    return n1 >= 2 and not (n1 & (n1 - 1)) and n2 % 128 == 0
+
+
 def _resolve_interpret(interpret) -> bool:
     """None -> interpret on complex-capable CPU backends (tests/golden runs),
     compiled Mosaic elsewhere."""

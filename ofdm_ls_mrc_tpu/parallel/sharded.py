@@ -154,8 +154,8 @@ class ShardedUplinkReceiver:
                              f"by {n_time} time shards")
 
         if pipeline == "fused":
-            n1, n2 = fastpath._fast_split(cfg.fft_size)
-            if n1 & (n1 - 1) or n1 < 2 or n2 % 128:
+            from ..ops.pallas_pipeline import supports_fused
+            if not supports_fused(cfg.fft_size):
                 pipeline = self.pipeline = "fast"
         if pipeline == "fused":
             body = functools.partial(_sharded_demod_local_fused,
