@@ -287,6 +287,15 @@ class SymbolRing:
         """Cumulative time this end spent spin-waiting (read-phase analogue)."""
         return self._lib.ring_spin_seconds(self._handle)
 
+    def info(self) -> str:
+        """Human-readable segment summary (the reference's
+        CSharedMemSimple::info(), CSharedMemSimple.hpp:133-137)."""
+        return (f"SymbolRing(uid={self.uid!r}, {self.rows}x{self.cols}"
+                f"x{self.length}, dtype={self.dtype}, "
+                f"{'master' if self.master else 'slave'}, "
+                f"available={self.available}, dropped={self.dropped}, "
+                f"spin={self.spin_seconds:.3f}s)")
+
     def wait_drained(self, timeout: Optional[float] = None) -> bool:
         """Block until the reader consumed everything written (master-side
         teardown handshake).  Returns False on timeout."""
