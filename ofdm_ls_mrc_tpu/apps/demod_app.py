@@ -32,7 +32,8 @@ def build_parser() -> argparse.ArgumentParser:
     ap.add_argument("--output", default="Output_tpu.dat",
                     help="demodulated output (raw complex64 rows)")
     ap.add_argument("--num-frames", type=int, default=1,
-                    help="frames to process (numTimes)")
+                    help="frames to process (numTimes); 0 = run until the "
+                         "ring shuts down or SIGINT (live mode)")
     ap.add_argument("--fft-impl", default=None,
                     choices=[None, "xla", "matmul", "four_step"],
                     help="FFT implementation (default: backend-appropriate)")
@@ -76,7 +77,8 @@ def main(argv=None) -> int:
                         pipeline=args.pipeline)
     rx.warmup()
 
-    timer = None if args.no_timer else PhaseTimer(
+    continuous = args.num_frames <= 0
+    timer = None if (args.no_timer or continuous) else PhaseTimer(
         num_slots=args.frame_len, num_times=args.num_frames)
 
     ring = SymbolRing(args.shm_uid, args.antennas, ring_cols, args.frame_len,
@@ -86,15 +88,19 @@ def main(argv=None) -> int:
     import jax
 
     n = 0
-    for frame in feed.frames(max_frames=args.num_frames):
-        if timer:
-            with timer.phase("decode", min(n, args.frame_len - 1)):
+    try:
+        for frame in feed.frames(max_frames=None if continuous
+                                 else args.num_frames):
+            if timer:
+                with timer.phase("decode", min(n, args.frame_len - 1)):
+                    out = rx.demod_frame(frame)
+                    jax.block_until_ready(out.re)
+            else:
                 out = rx.demod_frame(frame)
-                jax.block_until_ready(out.re)
-        else:
-            out = rx.demod_frame(frame)
-        append_output(args.output, out.to_numpy(), truncate=(n == 0))
-        n += 1
+            append_output(args.output, out.to_numpy(), truncate=(n == 0))
+            n += 1
+    except KeyboardInterrupt:
+        print(f"SIGINT: stopping after {n} frame(s)")
     print(f"demodulated {n} frame(s) -> {args.output}")
 
     if timer:

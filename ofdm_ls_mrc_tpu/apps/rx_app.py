@@ -46,7 +46,9 @@ def build_parser() -> argparse.ArgumentParser:
     ap.add_argument("--frame-len", type=int, default=101,
                     help="symbols per frame incl. pilot")
     ap.add_argument("--shm-uid", default="/ofdm_ring")
-    ap.add_argument("--num-frames", type=int, default=1)
+    ap.add_argument("--num-frames", type=int, default=1,
+                    help="frames to stream; 0 = continuous file-player mode "
+                         "(cycle the capture until SIGINT/reader shutdown)")
     ap.add_argument("--wait-writes", action="store_true",
                     help="backpressured writes (default: no-wait like live RX)")
     ap.add_argument("--dump-aligned", action="store_true",
@@ -81,7 +83,7 @@ def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
 
     from ..golden.io import load_pn_sequence
-    from ..io.ring import SymbolRing
+    from ..io.ring import RingShutdown, SymbolRing
     from ..sim.pn import correlate_frame_start
 
     print(f"RX config: rate={args.rate/1e6:.3f} Msps freq={args.freq/1e6:.3f} MHz "
@@ -115,11 +117,23 @@ def main(argv=None) -> int:
     print(f"ring master up: uid={args.shm_uid} "
           f"[{args.antennas} x {sym_len}] x {args.frame_len}")
 
+    # --num-frames 0: continuous file-player mode -- cycle the capture until
+    # SIGINT or reader shutdown (the reference RX runs `while !stop_signal`,
+    # rx_and_corr.cpp:296,305).
+    avail_frames = (samples.shape[1] - start) // frame_samps
+    if avail_frames < 1:
+        print("capture shorter than one frame after sync", file=sys.stderr)
+        ring.close()
+        return 1
+    continuous = args.num_frames <= 0
+
     wrote = 0
+    frames_sent = 0
     try:
-        for f in range(args.num_frames):
-            base = start + f * frame_samps
-            if base + frame_samps > samples.shape[1]:
+        f = 0
+        while continuous or f < args.num_frames:
+            base = start + (f % avail_frames if continuous else f) * frame_samps
+            if not continuous and base + frame_samps > samples.shape[1]:
                 print(f"capture exhausted after {f} frame(s)")
                 break
             for s in range(args.frame_len):
@@ -127,12 +141,19 @@ def main(argv=None) -> int:
                 ring.write(np.ascontiguousarray(sym), wait=args.wait_writes,
                            timeout=args.timeout)
                 wrote += 1
+            frames_sent += 1
+            f += 1
         if args.dump_aligned:
             for ch in range(args.antennas):
                 out = f"{args.file_prefix}_ch_{ch}_binary"
-                samples[ch, start:start + args.num_frames * frame_samps].tofile(out)
-        print(f"wrote {wrote} symbols ({args.num_frames} frame(s)), "
+                samples[ch, start:start + frames_sent * frame_samps].tofile(out)
+        print(f"wrote {wrote} symbols ({frames_sent} frame(s)), "
               f"dropped={ring.dropped}")
+    except KeyboardInterrupt:
+        print(f"SIGINT: stopping after {frames_sent} frame(s), "
+              f"{wrote} symbols, dropped={ring.dropped}")
+    except RingShutdown:
+        print(f"reader shut the ring down after {frames_sent} frame(s)")
     finally:
         # Teardown handshake: wait for the slave to drain before unlinking
         # the segment (the reference's destructor sentinel dance,

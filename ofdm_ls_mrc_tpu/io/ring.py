@@ -298,10 +298,13 @@ class SymbolRing:
 
     def wait_drained(self, timeout: Optional[float] = None) -> bool:
         """Block until the reader consumed everything written (master-side
-        teardown handshake).  Returns False on timeout."""
+        teardown handshake).  Returns False on timeout; a shut-down ring
+        counts as drained (the peer has exited)."""
         rc = self._lib.ring_wait_drained(self._handle, timeout or self._timeout)
         if rc == RING_TIMEOUT:
             return False
+        if rc == RING_SHUTDOWN:
+            return True
         _check(rc, "ring_wait_drained")
         return True
 

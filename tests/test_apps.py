@@ -127,6 +127,44 @@ def test_sc16_capture_file_roundtrip(workdir):
     assert evm < -25.0, f"EVM {evm:.1f} dB"
 
 
+def test_continuous_rx_stops_on_reader_shutdown(workdir):
+    """rx_app --num-frames 0 (live file-player mode) cycles the capture until
+    the demod slave finishes and shuts the ring down; both exit cleanly."""
+    cap = str(workdir / "capture.dat")
+    out = str(workdir / "Output_tpu.dat")
+    uid = f"/ofdm_app_{uuid.uuid4().hex[:8]}"
+    common = ["--antennas", str(A), "--fft-size", str(F),
+              "--cp-size", str(CP), "--frame-len", str(S)]
+    r = run(["ofdm_ls_mrc_tpu.apps.tx_app", "--out", cap,
+             "--pn-preamble", "--snr", "35", "--channel-taps", "4",
+             "--pilots", str(workdir / "none.dat"),
+             "--pn-file", str(workdir / "none.dat")] + common
+            + ["--num-frames", "1"])
+    assert r.returncode == 0, r.stderr
+
+    rx = subprocess.Popen(
+        [sys.executable, "-m", "ofdm_ls_mrc_tpu.apps.rx_app", "--file", cap,
+         "--shm-uid", uid, "--thres", "0.05", "--wait-writes",
+         "--pn-file", str(workdir / "none.dat"),
+         "--num-frames", "0"] + common,            # continuous
+        cwd=REPO, env=ENV_BASE, stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+        text=True)
+    dm = subprocess.Popen(
+        [sys.executable, "-m", "ofdm_ls_mrc_tpu.apps.demod_app",
+         "--shm-uid", uid, "--output", out, "--num-frames", "3",
+         "--pilots", str(workdir / "none.dat")] + common,
+        cwd=REPO, env=ENV_BASE, stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+        text=True)
+    dm_out, dm_err = dm.communicate(timeout=300)
+    rx_out, rx_err = rx.communicate(timeout=300)
+    assert dm.returncode == 0, dm_err + dm_out
+    assert rx.returncode == 0, rx_err + rx_out
+    assert "demodulated 3 frame(s)" in dm_out
+    assert "reader shut the ring down" in rx_out
+    got = np.fromfile(out, dtype=np.complex64)
+    assert got.size == 3 * (S - 1) * (F - 1)
+
+
 def test_rx_app_no_peak_errors_cleanly(workdir):
     cap = str(workdir / "noise.dat")
     rng = np.random.default_rng(0)
