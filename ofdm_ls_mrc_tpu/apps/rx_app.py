@@ -53,6 +53,10 @@ def build_parser() -> argparse.ArgumentParser:
                     help="backpressured writes (default: no-wait like live RX)")
     ap.add_argument("--dump-aligned", action="store_true",
                     help="dump aligned captures per channel like the reference")
+    ap.add_argument("--dump-raw", action="store_true",
+                    help="dump the raw pre-sync capture per channel (the "
+                         "reference's raw ring-capture dump, "
+                         "rx_and_corr.cpp:411-427)")
     ap.add_argument("--file-format", default="cf32",
                     choices=["cf32", "sc16"],
                     help="capture file sample format: cf32 = complex64, "
@@ -147,6 +151,9 @@ def main(argv=None) -> int:
             for ch in range(args.antennas):
                 out = f"{args.file_prefix}_ch_{ch}_binary"
                 samples[ch, start:start + frames_sent * frame_samps].tofile(out)
+        if args.dump_raw:
+            for ch in range(args.antennas):
+                samples[ch].tofile(f"{args.file_prefix}_raw_ch_{ch}_binary")
         print(f"wrote {wrote} symbols ({frames_sent} frame(s)), "
               f"dropped={ring.dropped}")
     except KeyboardInterrupt:
