@@ -23,19 +23,23 @@ _VERSION = 1
 
 def save_estimate(path: str, cfg: FrameConfig, hconj: CArray,
                   hsqrd, frame_index: int = 0) -> None:
-    """Persist a channel estimate (full-grid, true frequency order)."""
-    np.savez(
-        path,
-        version=_VERSION,
-        num_antennas=cfg.num_antennas,
-        fft_size=cfg.fft_size,
-        cyclic_prefix=cfg.cyclic_prefix,
-        frame_len=cfg.frame_len,
-        frame_index=frame_index,
-        hconj_re=np.asarray(hconj.re),
-        hconj_im=np.asarray(hconj.im),
-        hsqrd=np.asarray(hsqrd),
-    )
+    """Persist a channel estimate (full-grid, true frequency order).
+
+    Written to the EXACT path given (np.savez would otherwise append .npz,
+    breaking save/resume roundtrips on extensionless paths)."""
+    with open(path, "wb") as fh:
+        np.savez(
+            fh,
+            version=_VERSION,
+            num_antennas=cfg.num_antennas,
+            fft_size=cfg.fft_size,
+            cyclic_prefix=cfg.cyclic_prefix,
+            frame_len=cfg.frame_len,
+            frame_index=frame_index,
+            hconj_re=np.asarray(hconj.re),
+            hconj_im=np.asarray(hconj.im),
+            hsqrd=np.asarray(hsqrd),
+        )
 
 
 def load_estimate(path: str, cfg: FrameConfig) -> Tuple[CArray, np.ndarray, int]:

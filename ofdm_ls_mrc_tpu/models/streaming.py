@@ -85,8 +85,13 @@ class StreamingDemodulator:
         else:
             self._hconj, self._hsqrd = self._estimate(c, self.x_full)
 
-    def push_symbol(self, data_sym: SymbolLike, slot: int = 0) -> CArray:
-        """Demod one data symbol [A, F+cp] -> [F-1] with the current estimate."""
+    def push_symbol(self, data_sym: SymbolLike, slot: int = 1) -> CArray:
+        """Demod one data symbol [A, F+cp] -> [F-1] with the current estimate.
+
+        ``slot`` is the symbol's frame position (data symbols occupy slots
+        1..frame_len-1; slot 0 is the pilot).  PhaseTimer.summary() excludes
+        slot 0 from decode stats -- mirroring the reference's &decode[1]
+        averaging -- so timed data symbols must not default into it."""
         if self._hconj is None:
             raise RuntimeError("no channel estimate: push_pilot first "
                                "(frame slot 0 is the pilot)")

@@ -98,6 +98,9 @@ class UplinkReceiver:
         (2^k, 128) split.  The split-phase estimate/demod_data API always uses
         the composed ops (its estimates are interchangeable across frames)."""
         cfg.validate()
+        if pipeline not in ("fused", "fast", "composed"):
+            raise ValueError(f"unknown pipeline {pipeline!r}: "
+                             "expected 'fused', 'fast' or 'composed'")
         if pilot_x.shape[-1] != cfg.num_subcarriers:
             raise ValueError(
                 f"pilot has {pilot_x.shape[-1]} bins, config wants {cfg.num_subcarriers}")
@@ -126,6 +129,8 @@ class UplinkReceiver:
                 fastpath.demod_frame_fast, x_full_perm=x_perm,
                 cp=cfg.cyclic_prefix), donate_argnums=donate_args)
         else:
+            if self.fft_impl == "xla" and pipeline != "composed":
+                pipeline = self.pipeline = "composed"  # complex-dtype backends
             self._demod_frame = jax.jit(
                 functools.partial(demod_frame_fn, x_full=self.x_full, **kw),
                 donate_argnums=donate_args)

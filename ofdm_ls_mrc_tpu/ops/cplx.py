@@ -91,6 +91,11 @@ class CArray:
         if isinstance(o, CArray):
             return CArray(self.re * o.re - self.im * o.im,
                           self.re * o.im + self.im * o.re)
+        if isinstance(o, complex) or (hasattr(o, "dtype")
+                                      and np.issubdtype(o.dtype, np.complexfloating)):
+            raise TypeError(
+                "complex scalar/array would silently break the planar float32 "
+                "invariant; wrap it in a CArray (CArray.from_numpy / from_const)")
         return CArray(self.re * o, self.im * o)  # real scalar/array scale
 
     def __rmul__(self, o) -> "CArray":

@@ -10,7 +10,7 @@ ops/ls + ops/mrc), worth ~35% end-to-end on v5e:
    edge folds the inverse permutation together with the DC-drop and the
    output ifftshift (shiftOneRow, cpuLS.hpp:368) into a single static take.
 
-2. **Transpose-free einsums.**  Stage 1 uses '...ij,ik->...jk' (contraction
+2. **Transpose-free einsums.**  Stage 1 uses '...ij,ik->...kj' (contraction
    on the sublane-major dim, output layout matching stage 2's input) and
    stage 2 '...jk,jm->...km'; neither needs a layout change.
 
@@ -80,8 +80,8 @@ def _cgemm_kara(xre, xim, consts, spec: str, precision) -> Tuple[jnp.ndarray, jn
 def stage1_twiddled(x: CArray, precision=None) -> CArray:
     """First four-step stage + twiddle, output [.., k1, i2] flattened to [.., F].
 
-    Natural k1 order; feed to the stage-2 GEMM (here or in the Pallas
-    stage-2+MRC kernel, ops/pallas_pipeline.fused_stage2).
+    Natural k1 order; feed to the stage-2 GEMM (fft_permuted's second
+    einsum; the Pallas kernel in ops/pallas_pipeline runs its own stage 1).
     """
     from . import fft as fft_mod
 
@@ -107,7 +107,8 @@ def fft_permuted(x: CArray, precision=None) -> CArray:
     """Four-step FFT with output left in [.., k1*N2 + k2] permuted order.
 
     Input  [..., F]; output [..., F] where position k1*N2+k2 holds true
-    frequency N1*k2+k1 (perm tables in pallas_mrc._perm_tables).
+    frequency N1*k2+k1 under the _fast_split factorization (perm tables in
+    _fast_perm_tables; NOT pallas_mrc._perm_tables, which uses fft._split).
     """
     from . import fft as fft_mod
 

@@ -28,7 +28,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .cplx import CArray, from_const
+from .cplx import CArray, ceinsum, cmatmul, from_const
 
 # Matmul precision for the DFT stages.  HIGH (3-pass bf16) keeps the demod
 # error ~3e-5 relative -- far below any radio EVM floor -- at ~4x the speed
@@ -39,7 +39,12 @@ _PRECISION = jax.lax.Precision.HIGH
 
 
 def set_precision(name: str) -> None:
-    """Set DFT matmul precision: 'default' | 'high' | 'highest'."""
+    """Set DFT matmul precision: 'default' | 'high' | 'highest'.
+
+    Read at TRACE time: only functions traced afterwards see the change.
+    Already-constructed receivers (whose __init__ jitted their pipelines)
+    and already-compiled shapes keep their old precision -- construct
+    receivers AFTER calling this (bench.py does)."""
     global _PRECISION
     _PRECISION = {"default": jax.lax.Precision.DEFAULT,
                   "high": jax.lax.Precision.HIGH,
@@ -84,11 +89,7 @@ def fft_matmul(x: CArray, sign: float = -1.0) -> CArray:
     """Dense DFT as planar matmul: X = x @ W, W[n,k] = exp(sign*2pi i nk/N)."""
     n = x.shape[-1]
     w = from_const(_dft_matrix(n, sign))
-    rr = jnp.matmul(x.re, w.re, precision=_PRECISION)
-    ii = jnp.matmul(x.im, w.im, precision=_PRECISION)
-    ri = jnp.matmul(x.re, w.im, precision=_PRECISION)
-    ir = jnp.matmul(x.im, w.re, precision=_PRECISION)
-    return CArray(rr - ii, ri + ir)
+    return cmatmul(x, w, precision=_PRECISION)
 
 
 def ifft_matmul(x: CArray) -> CArray:
@@ -114,11 +115,7 @@ def fft_four_step(x: CArray, sign: float = -1.0) -> CArray:
     xs = x.reshape(x.shape[:-1] + (n1, n2))
 
     def stage(a: CArray, d: CArray, spec: str) -> CArray:
-        rr = jnp.einsum(spec, a.re, d.re, precision=_PRECISION)
-        ii = jnp.einsum(spec, a.im, d.im, precision=_PRECISION)
-        ri = jnp.einsum(spec, a.re, d.im, precision=_PRECISION)
-        ir = jnp.einsum(spec, a.im, d.re, precision=_PRECISION)
-        return CArray(rr - ii, ri + ir)
+        return ceinsum(spec, a, d, precision=_PRECISION)
 
     a = stage(xs, d1, "...ij,ik->...kj")   # contract over i1 -> [.., k1, i2]
     b = a * tw                              # planar twiddle

@@ -48,7 +48,10 @@ def demap_symbols(syms: np.ndarray, scheme: str = "qpsk") -> np.ndarray:
     return np.argmin(d, axis=-1)
 
 
-def random_symbols(rng: np.random.Generator, shape, scheme: str = "qpsk") -> np.ndarray:
+def random_symbols(rng: np.random.Generator, shape,
+                   scheme: str = "qpsk") -> "tuple[np.ndarray, np.ndarray]":
+    """Random constellation points: returns (symbols, indices)."""
+
     idx = rng.integers(0, CONSTELLATIONS[scheme].size, size=shape)
     return map_symbols(idx, scheme), idx
 

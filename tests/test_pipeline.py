@@ -79,8 +79,15 @@ class TestUplinkReceiver:
     def test_fused_pipeline_falls_back_without_128_split(self, rng, small_cfg):
         pilot = np.exp(2j * np.pi * rng.random(small_cfg.num_subcarriers)
                        ).astype(np.complex64)
-        rx = UplinkReceiver(small_cfg, pilot, pipeline="fused")
+        rx = UplinkReceiver(small_cfg, pilot, fft_impl="four_step",
+                            pipeline="fused")
         assert rx.pipeline == "fast"  # 64-point FFT has no (8, 128) split
+        # On complex-dtype backends (fft_impl='xla') everything routes to the
+        # composed ops, and self.pipeline says so honestly.
+        rx2 = UplinkReceiver(small_cfg, pilot, fft_impl="xla", pipeline="fast")
+        assert rx2.pipeline == "composed"
+        with pytest.raises(ValueError, match="unknown pipeline"):
+            UplinkReceiver(small_cfg, pilot, pipeline="fastt")
 
     def test_reference_default_geometry(self, rng):
         """16 ant x 1024 FFT x 101 symbols -- the reference's GPU config."""
