@@ -88,7 +88,7 @@ class UplinkReceiver:
 
     def __init__(self, cfg: FrameConfig, pilot_x: np.ndarray,
                  fft_impl: Optional[str] = None, donate: bool = False,
-                 pipeline: str = "fast"):
+                 pipeline: str = "fused"):
         """pipeline: 'fused' routes demod_frame through the whole-pipeline
         Pallas kernel (ops/pallas_pipeline -- VMEM-resident FFT+MRC, fastest
         on v5e at the 1024-point reference geometry); 'fast' uses the XLA

@@ -135,6 +135,9 @@ class ShardedUplinkReceiver:
 
     def __init__(self, cfg: FrameConfig, pilot_x: np.ndarray, mesh: Mesh,
                  fft_impl: Optional[str] = None, pipeline: str = "fast"):
+        # NOTE: 'fast' default here (not 'fused'): under shard_map on CPU test
+        # meshes the interpreted kernel is slow, and on real multi-chip the
+        # fused body is opt-in until profiled against the XLA shard body.
         cfg.validate()
         self.cfg = cfg
         self.mesh = mesh
