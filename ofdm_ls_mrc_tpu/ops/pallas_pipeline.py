@@ -133,8 +133,11 @@ def _dif_sublane(xr, xi, r, n1, n2, stage_consts):
     def stage(xr, xi, span, mask, cr, ci):
         rr = pltpu.roll(xr, span, 1)        # rr[s] = xr[(s - span) mod n1]
         ri = pltpu.roll(xi, span, 1)
-        fr = pltpu.roll(xr, n1 - span, 1)   # fr[s] = xr[(s + span) mod n1]
-        fi = pltpu.roll(xi, n1 - span, 1)
+        if 2 * span == n1:
+            fr, fi = rr, ri                 # roll(span) == roll(n1 - span)
+        else:
+            fr = pltpu.roll(xr, n1 - span, 1)   # fr[s] = xr[(s + span) mod n1]
+            fi = pltpu.roll(xi, n1 - span, 1)
         ur = jnp.where(mask, xr + fr, rr - xr)
         ui = jnp.where(mask, xi + fi, ri - xi)
         if cr is None:
