@@ -39,7 +39,8 @@ def main(argv=None) -> int:
 
     a = read_output(args.file_a, args.subcarriers)
     b = read_output(args.file_b, args.subcarriers)
-    n = min(len(a), len(b), args.max_symbols or len(a))
+    n = min(len(a), len(b),
+            len(a) if args.max_symbols is None else args.max_symbols)
     if n == 0:
         print("no symbols to compare", file=sys.stderr)
         return 2

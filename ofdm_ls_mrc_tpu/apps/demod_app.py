@@ -92,7 +92,13 @@ def main(argv=None) -> int:
         for frame in feed.frames(max_frames=None if continuous
                                  else args.num_frames):
             if timer:
-                with timer.phase("decode", min(n, args.frame_len - 1)):
+                # Whole-frame pipeline: channel estimation is fused into the
+                # decode; frames cycle through slots 1..L-1 so the table's
+                # Decode row (avg over slots[1:], / num_times) reads as the
+                # per-data-symbol amortized decode time, never the skipped
+                # slot 0.
+                with timer.phase("decode",
+                                 1 + (n % max(args.frame_len - 1, 1))):
                     out = rx.demod_frame(frame)
                     jax.block_until_ready(out.re)
             else:

@@ -148,9 +148,10 @@ def main(argv=None) -> int:
             frames_sent += 1
             f += 1
         if args.dump_aligned:
+            dump_frames = min(frames_sent, avail_frames)  # continuous mode cycles
             for ch in range(args.antennas):
                 out = f"{args.file_prefix}_ch_{ch}_binary"
-                samples[ch, start:start + frames_sent * frame_samps].tofile(out)
+                samples[ch, start:start + dump_frames * frame_samps].tofile(out)
         if args.dump_raw:
             for ch in range(args.antennas):
                 samples[ch].tofile(f"{args.file_prefix}_raw_ch_{ch}_binary")

@@ -84,7 +84,13 @@ def main(argv=None) -> int:
     for _ in range(args.num_frames):
         if args.in_file:
             data = np.fromfile(args.in_file, dtype=np.complex64)
-            data = data[: (args.frame_len - 1) * (f - 1)].reshape(-1, f - 1)
+            need = (args.frame_len - 1) * (f - 1)
+            if data.size < need:
+                raise SystemExit(
+                    f"{args.in_file}: {data.size} samples < one frame's "
+                    f"{need} ((frame_len-1) x (fft_size-1)); short frames "
+                    "would misalign the stream")
+            data = data[:need].reshape(-1, f - 1)
         else:
             data, _ = random_symbols(rng, (args.frame_len - 1, f - 1),
                                      args.modulation)

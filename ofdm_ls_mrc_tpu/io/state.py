@@ -10,8 +10,7 @@ restore fails loudly instead of demodulating garbage.
 
 from __future__ import annotations
 
-import dataclasses
-from typing import Optional, Tuple
+from typing import Tuple
 
 import numpy as np
 
@@ -54,5 +53,12 @@ def load_estimate(path: str, cfg: FrameConfig) -> Tuple[CArray, np.ndarray, int]
             got = int(z[field])
             if got != want:
                 raise ValueError(f"state {field}={got} != config {want}")
+        want = (cfg.num_antennas, cfg.fft_size)
+        for key in ("hconj_re", "hconj_im"):
+            if z[key].shape != want:
+                raise ValueError(f"{path}: {key} shape {z[key].shape} != {want}")
+        if z["hsqrd"].shape != (cfg.fft_size,):
+            raise ValueError(f"{path}: hsqrd shape {z['hsqrd'].shape} != "
+                             f"({cfg.fft_size},)")
         hconj = CArray(jnp.asarray(z["hconj_re"]), jnp.asarray(z["hconj_im"]))
         return hconj, jnp.asarray(z["hsqrd"]), int(z["frame_index"])

@@ -25,7 +25,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from .cplx import CArray
-from .fft import fft_four_step, get_fft, ifft_four_step
+from .fft import fft_four_step, ifft_four_step
 
 _BLOCK_FFT = 1024  # MXU-aligned overlap-save FFT size
 
@@ -111,6 +111,10 @@ def pn_correlate_sharded(x: CArray, pn: np.ndarray, mesh, axis) -> jnp.ndarray:
     size = mesh.shape[axis]
     if n % size:
         raise ValueError(f"{n} samples not divisible by {size} shards")
+    if n // size < p - 1:
+        raise ValueError(
+            f"shard length {n // size} < PN halo {p - 1}: use fewer shards "
+            "or a longer buffer")
 
     def local(xs: CArray) -> jnp.ndarray:
         nloc = xs.shape[-1]

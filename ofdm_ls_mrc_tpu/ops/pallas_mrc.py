@@ -112,14 +112,18 @@ def _choose_tiles(a: int, f: int) -> Tuple[int, int]:
     dot expands each operand into multiple split-precision passes with a
     super-linear VMEM footprint (measured on v5e at f=1024: ts*ac = 128
     demands 42 MB, ts*ac = 16 still OOMs, ts=2 x ac=4 compiles), so the
-    chunk is capped at ts*ac*f <= 8192 elements with the antenna chunk
-    bounded first (wide ac shapes OOM before tall ts ones)."""
+    chunk is capped at ts*ac*f <= 8192 elements, shrinking the symbol tile
+    FIRST (the measured-safe shape at 16 ant x 1024 is ts=2 x ac=4; the
+    ac-first alternative ts=8 x ac=1 OOMs on hardware).  ac is always a
+    divisor of a so no antenna is dropped from the chunk loop."""
+    ac = a
+    while ac > 4 or (a % ac):
+        ac -= 1
     ts = 8
-    ac = min(a, 4)
     while ts > 1 and ts * ac * f > 8 * 1024:
         ts //= 2
     while ac > 1 and ts * ac * f > 8 * 1024:
-        ac //= 2
+        ac = next(d for d in range(ac - 1, 0, -1) if a % d == 0)
     return ts, ac
 
 
@@ -147,6 +151,8 @@ def fused_demod(y: CArray, hconj: CArray, hsqrd: jnp.ndarray,
     inv_j = jnp.asarray(inv)
 
     ts, ac = tiles if tiles is not None else _choose_tiles(a, f)
+    if a % ac:
+        raise ValueError(f"antenna chunk {ac} does not divide {a} antennas")
     s_pad = ((s + ts - 1) // ts) * ts
     yre, yim = y.re, y.im
     if s_pad != s:

@@ -33,7 +33,7 @@ from .mesh import ANT_AXIS, TIME_AXIS, frame_sharding, make_mesh, pilot_sharding
 
 
 def _sharded_demod_local(pilot: CArray, data: CArray, x_full: CArray,
-                         *, cp: int, fft_impl: str, n_ant_shards: int) -> CArray:
+                         *, cp: int, fft_impl: str) -> CArray:
     """Per-shard body run under shard_map.
 
     Args (local shard views):
@@ -139,6 +139,9 @@ class ShardedUplinkReceiver:
         # meshes the interpreted kernel is slow, and on real multi-chip the
         # fused body is opt-in until profiled against the XLA shard body.
         cfg.validate()
+        if pipeline not in ("fused", "fast", "composed"):
+            raise ValueError(f"unknown pipeline {pipeline!r}: "
+                             "expected 'fused', 'fast' or 'composed'")
         self.cfg = cfg
         self.mesh = mesh
         self.fft_impl = fft_impl or fft_ops.default_impl()
@@ -169,7 +172,7 @@ class ShardedUplinkReceiver:
         else:
             body = functools.partial(
                 _sharded_demod_local, cp=cfg.cyclic_prefix,
-                fft_impl=self.fft_impl, n_ant_shards=n_ant)
+                fft_impl=self.fft_impl)
         mapped = jax.shard_map(
             body,
             mesh=mesh,

@@ -48,6 +48,25 @@ def test_fused_matches_xla_path(rng):
                                rtol=2e-4, atol=2e-4)
 
 
+@pytest.mark.parametrize("a", [3, 5, 6, 7])
+def test_non_divisible_antenna_counts(rng, a):
+    """No antenna may be dropped from the chunk loop (regression: a % ac != 0
+    silently truncated the MRC sum)."""
+    f, s = 64, 4
+    pilot_td = crandn(rng, (a, f))
+    data_td = crandn(rng, (s, a, f))
+    px = np.exp(2j * np.pi * rng.random(f - 1)).astype(np.complex64)
+    x_full = ls_ops.pad_pilot(px)
+    fft = fft_ops.get_fft("four_step")
+    hconj, hsqrd = ls_ops.estimate_channel_full(fft(CArray.from_numpy(pilot_td)), x_full)
+    eq = fused_demod(CArray.from_numpy(data_td), hconj, hsqrd, interpret=True)
+    got = mrc_ops.finalize(eq).to_numpy()
+    want_h, want_hs = dsp.estimate_channel(pilot_td, px)
+    want = np.stack([dsp.demod_symbol(data_td[i], want_h, want_hs)
+                     for i in range(s)])
+    np.testing.assert_allclose(got, want, rtol=2e-3, atol=2e-3)
+
+
 def test_perm_tables_roundtrip():
     for f in (64, 256, 1024):
         perm, inv = _perm_tables(f)
