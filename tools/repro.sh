@@ -1,0 +1,36 @@
+#!/usr/bin/env bash
+# Reproduce the headline results end to end.
+#
+#   bash tools/repro.sh            # on a TPU host (bench hits the chip)
+#
+# Individual pieces:
+#   python bench.py                          one JSON line: samples/s/chip
+#   python tools/ring_bench.py --batch       shm ingest throughput
+#   python -m pytest tests/ -q               166+ tests (forced-CPU 8-dev mesh)
+#   docs/PERF.md                             methodology + measured numbers
+set -euo pipefail
+cd "$(dirname "$0")/.."
+
+echo "== native build =="
+make -s -C native
+
+echo "== test suite (virtual 8-device CPU mesh) =="
+python -m pytest tests/ -q
+
+echo "== multichip dry run (8 virtual CPU devices) =="
+XLA_FLAGS="--xla_force_host_platform_device_count=8" python - <<'EOF'
+import jax
+jax.config.update("jax_platforms", "cpu")
+import __graft_entry__ as g
+fn, args = g.entry()
+jax.jit(fn)(*args)
+g.dryrun_multichip(len(jax.devices()))
+print("entry + dryrun OK")
+EOF
+
+echo "== ring ingest benchmark =="
+python tools/ring_bench.py --batch --symbols 10100
+python tools/ring_bench.py --batch --symbols 10100 --dtype sc16
+
+echo "== TPU headline benchmark =="
+python bench.py
