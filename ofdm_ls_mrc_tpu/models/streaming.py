@@ -48,6 +48,28 @@ def _demod_symbol_fn(sym: CArray, hconj: CArray, hsqrd: jnp.ndarray,
     return mrc_ops.finalize(eq)[0]                 # [F-1]
 
 
+def _estimate_symbol_fused_fn(pilot: CArray, x_perm: CArray, *, cp: int):
+    """LS estimate in fastpath permuted order (fused-kernel streaming mode)."""
+    from ..ops import fastpath
+
+    yp = fastpath.fft_permuted(drop_cyclic_prefix(pilot, cp))
+    denom = 1.0 / x_perm.abs2()
+    hre = (yp.re * x_perm.re + yp.im * x_perm.im) * denom
+    him = (yp.im * x_perm.re - yp.re * x_perm.im) * denom
+    hsqinv = 1.0 / jnp.sum(hre * hre + him * him, axis=0)
+    return CArray(hre, him), hsqinv
+
+
+def _demod_symbol_fused_fn(sym: CArray, h: CArray, hsqinv: jnp.ndarray,
+                           *, cp: int) -> CArray:
+    """One data symbol through the whole-pipeline Pallas kernel."""
+    from ..ops import pallas_pipeline
+
+    y = drop_cyclic_prefix(sym, cp)
+    eq = pallas_pipeline.fused_pipeline(y[None], h.re, h.im, hsqinv, ts=1)
+    return pallas_pipeline.to_reference_order(eq, y.shape[-1])[0]
+
+
 class StreamingDemodulator:
     """Symbol-at-a-time LS+MRC demodulator with a persistent channel estimate.
 
@@ -59,31 +81,57 @@ class StreamingDemodulator:
 
     def __init__(self, cfg: FrameConfig, pilot_x: np.ndarray,
                  fft_impl: Optional[str] = None,
-                 timer: Optional[PhaseTimer] = None):
+                 timer: Optional[PhaseTimer] = None,
+                 pipeline: str = "composed"):
+        """pipeline: 'composed' (default; plain jitted ops, any geometry) or
+        'fused' (the whole-pipeline Pallas kernel per symbol; falls back to
+        'composed' when the FFT size has no (2^k, 128) split or the backend
+        needs the complex-dtype path)."""
         cfg.validate()
+        if pipeline not in ("composed", "fused"):
+            raise ValueError(f"unknown pipeline {pipeline!r}")
         self.cfg = cfg
         self.fft_impl = fft_impl or fft_ops.default_impl()
         self.x_full = ls_ops.pad_pilot(pilot_x)
         self.timer = timer
         self._hconj: Optional[CArray] = None
         self._hsqrd = None
-        kw = dict(cp=cfg.cyclic_prefix, fft_impl=self.fft_impl)
-        self._estimate = jax.jit(functools.partial(_estimate_symbol_fn, **kw))
-        self._demod = jax.jit(functools.partial(_demod_symbol_fn, **kw))
+        if pipeline == "fused":
+            from ..ops.pallas_pipeline import supports_fused
+            if not supports_fused(cfg.fft_size) or self.fft_impl == "xla":
+                pipeline = "composed"
+        self.pipeline = pipeline
+        if pipeline == "fused":
+            from ..ops import fastpath
+            self.x_perm = fastpath.prepare_pilot_fast(pilot_x, cfg.fft_size)
+            self._estimate = jax.jit(functools.partial(
+                _estimate_symbol_fused_fn, cp=cfg.cyclic_prefix))
+            self._demod = jax.jit(functools.partial(
+                _demod_symbol_fused_fn, cp=cfg.cyclic_prefix))
+        else:
+            kw = dict(cp=cfg.cyclic_prefix, fft_impl=self.fft_impl)
+            self._estimate = jax.jit(functools.partial(_estimate_symbol_fn, **kw))
+            self._demod = jax.jit(functools.partial(_demod_symbol_fn, **kw))
 
     @property
     def has_estimate(self) -> bool:
         return self._hconj is not None
 
     def push_pilot(self, pilot_sym: SymbolLike, slot: int = 0) -> None:
-        """Refresh the channel estimate from a frame's pilot symbol [A, F+cp]."""
+        """Refresh the channel estimate from a frame's pilot symbol [A, F+cp].
+
+        In 'fused' mode the stored estimate is (h, 1/sum|h|^2) in fastpath
+        permuted order (the kernel's input layout); in 'composed' mode it is
+        (hconj, sum|h|^2) in true frequency order.  save_state/resume
+        convert so checkpoints are interchangeable between modes."""
         c = _as_carray(pilot_sym)
+        ref = self.x_perm if self.pipeline == "fused" else self.x_full
         if self.timer:
             with self.timer.phase("chanest", slot):
-                self._hconj, self._hsqrd = self._estimate(c, self.x_full)
+                self._hconj, self._hsqrd = self._estimate(c, ref)
                 jax.block_until_ready(self._hsqrd)
         else:
-            self._hconj, self._hsqrd = self._estimate(c, self.x_full)
+            self._hconj, self._hsqrd = self._estimate(c, ref)
 
     def push_symbol(self, data_sym: SymbolLike, slot: int = 1) -> CArray:
         """Demod one data symbol [A, F+cp] -> [F-1] with the current estimate.
@@ -104,19 +152,40 @@ class StreamingDemodulator:
         return self._demod(c, self._hconj, self._hsqrd)
 
     # -- state persistence (checkpoint/resume; io/state.py) ------------------
+    def _perm_tables(self):
+        from ..ops.fastpath import _fast_perm_tables
+        return _fast_perm_tables(self.cfg.fft_size)
+
     def save_state(self, path: str, frame_index: int = 0) -> None:
-        """Persist the current channel estimate for restart-resume."""
+        """Persist the current channel estimate for restart-resume.
+
+        Always written in the portable true-frequency (hconj, sum|h|^2)
+        layout, whatever the runtime pipeline."""
         if self._hconj is None:
             raise RuntimeError("no channel estimate to save")
         from ..io.state import save_estimate
 
-        save_estimate(path, self.cfg, self._hconj, self._hsqrd, frame_index)
+        if self.pipeline == "fused":
+            _, inv = self._perm_tables()
+            h = self._hconj
+            hconj = CArray(np.asarray(h.re)[:, inv], -np.asarray(h.im)[:, inv])
+            hsqrd = 1.0 / np.asarray(self._hsqrd)[inv]
+            save_estimate(path, self.cfg, hconj, hsqrd, frame_index)
+        else:
+            save_estimate(path, self.cfg, self._hconj, self._hsqrd, frame_index)
 
     def resume(self, path: str) -> int:
         """Restore a saved estimate; returns the stored frame index."""
         from ..io.state import load_estimate
 
-        self._hconj, self._hsqrd, idx = load_estimate(path, self.cfg)
+        hconj, hsqrd, idx = load_estimate(path, self.cfg)
+        if self.pipeline == "fused":
+            perm, _ = self._perm_tables()
+            self._hconj = CArray(jnp.asarray(np.asarray(hconj.re)[:, perm]),
+                                 jnp.asarray(-np.asarray(hconj.im)[:, perm]))
+            self._hsqrd = jnp.asarray(1.0 / np.asarray(hsqrd)[perm])
+        else:
+            self._hconj, self._hsqrd = hconj, hsqrd
         return idx
 
     def warmup(self) -> None:

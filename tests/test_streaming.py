@@ -38,6 +38,56 @@ def test_streaming_matches_golden(rng):
     np.testing.assert_allclose(np.stack(rows), want, rtol=3e-3, atol=3e-3)
 
 
+class TestFusedStreaming:
+    CFG1K = FrameConfig(num_antennas=2, fft_size=1024, cyclic_prefix=16,
+                        frame_len=4)
+
+    def test_fused_matches_composed(self, rng):
+        cfg = self.CFG1K
+        pilot = np.exp(2j * np.pi * rng.random(cfg.num_subcarriers)).astype(np.complex64)
+        frame = crandn(rng, (cfg.frame_len, cfg.num_antennas, cfg.symbol_len))
+        a = StreamingDemodulator(cfg, pilot, fft_impl="four_step")
+        b = StreamingDemodulator(cfg, pilot, fft_impl="four_step",
+                                 pipeline="fused")
+        assert b.pipeline == "fused"
+        a.push_pilot(frame[0])
+        b.push_pilot(frame[0])
+        ra = a.push_symbol(frame[1]).to_numpy()
+        rb = b.push_symbol(frame[1]).to_numpy()
+        np.testing.assert_allclose(rb, ra, rtol=3e-4, atol=3e-4)
+
+    def test_state_roundtrips_across_modes(self, rng, tmp_path):
+        cfg = self.CFG1K
+        pilot = np.exp(2j * np.pi * rng.random(cfg.num_subcarriers)).astype(np.complex64)
+        frame = crandn(rng, (cfg.frame_len, cfg.num_antennas, cfg.symbol_len))
+        fused = StreamingDemodulator(cfg, pilot, fft_impl="four_step",
+                                     pipeline="fused")
+        fused.push_pilot(frame[0])
+        want = fused.push_symbol(frame[1]).to_numpy()
+        path = str(tmp_path / "est_state")
+        fused.save_state(path, frame_index=7)
+
+        # Resume into the composed pipeline: same demod output (DC excluded
+        # by construction -- it never reaches the 1023-wide output).
+        comp = StreamingDemodulator(cfg, pilot, fft_impl="four_step")
+        assert comp.resume(path) == 7
+        got = comp.push_symbol(frame[1]).to_numpy()
+        np.testing.assert_allclose(got, want, rtol=3e-4, atol=3e-4)
+
+        # And back into a fresh fused instance.
+        fused2 = StreamingDemodulator(cfg, pilot, fft_impl="four_step",
+                                      pipeline="fused")
+        assert fused2.resume(path) == 7
+        got2 = fused2.push_symbol(frame[1]).to_numpy()
+        np.testing.assert_allclose(got2, want, rtol=3e-4, atol=3e-4)
+
+    def test_fused_falls_back_small_fft(self, rng):
+        pilot = np.exp(2j * np.pi * rng.random(CFG.num_subcarriers)).astype(np.complex64)
+        sd = StreamingDemodulator(CFG, pilot, fft_impl="four_step",
+                                  pipeline="fused")
+        assert sd.pipeline == "composed"  # 64-pt FFT has no (2^k, 128) split
+
+
 def test_requires_pilot_first(rng):
     pilot = np.exp(2j * np.pi * rng.random(CFG.num_subcarriers)).astype(np.complex64)
     sd = StreamingDemodulator(CFG, pilot)
