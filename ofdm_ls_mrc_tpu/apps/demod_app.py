@@ -40,7 +40,7 @@ def build_parser() -> argparse.ArgumentParser:
     ap.add_argument("--pipeline", default="fused",
                     choices=["fused", "fast", "composed"],
                     help="demod path: fused Pallas kernel (falls back to fast "
-                         "when FFT size has no (8,128) split), XLA fastpath, "
+                         "when FFT size has no (2^k, 128) split), XLA fastpath, "
                          "or plain composed ops")
     ap.add_argument("--catch-up", action="store_true",
                     help="real-time mode: skip stale queued frames instead of "
