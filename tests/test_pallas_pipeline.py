@@ -60,6 +60,18 @@ def test_structured_reorder_matches_gather(rng):
     np.testing.assert_array_equal(got, want)
 
 
+@pytest.mark.parametrize("a,s,cp", [(1, 2, 0), (1, 9, 72), (3, 2, 16)])
+def test_edge_geometries(rng, a, s, cp):
+    """Single antenna, minimal frames, zero CP -- the degenerate corners."""
+    frame = crandn(rng, (s, a, F + cp))
+    pilot = np.exp(2j * np.pi * rng.random(F - 1)).astype(np.complex64)
+    x_perm = fastpath.prepare_pilot_fast(pilot, F)
+    got = demod_frame_fused(CArray.from_numpy(frame), x_perm, cp=cp,
+                            interpret=True).to_numpy()
+    want = dsp.demod_frame(frame, pilot, cp)
+    np.testing.assert_allclose(got, want, rtol=3e-4, atol=3e-4)
+
+
 @pytest.mark.parametrize("f", [256, 512, 2048])
 def test_other_fft_sizes(rng, f):
     """Generalized radix-2 stage-1 covers any (2^k, 128) split."""
