@@ -49,12 +49,34 @@ def main() -> int:
     mesh = make_multihost_mesh()            # (ant=4 local, time=2 processes)
     rx = ShardedUplinkReceiver(cfg, pilot, mesh, fft_impl="four_step")
 
-    # Each process contributes only ITS time-block of the data symbols (as if
-    # read from its local shm ring) -- no host ever holds the whole capture.
+    # Each process contributes only ITS time-block of the data symbols,
+    # physically read from its OWN local shm ring (the per-host ingest story:
+    # one SDR front-end + ring per host, parallel/multihost.py docstring) --
+    # no host ever holds the whole capture.
+    import threading
+    import uuid
+
+    from ofdm_ls_mrc_tpu.io.ring import SymbolRing
+
     data = frame[1:]
     s_local = data.shape[0] // 2
-    local = data[pid * s_local:(pid + 1) * s_local]
+    block = data[pid * s_local:(pid + 1) * s_local]
+
+    uid = f"/mh_{uuid.uuid4().hex[:8]}_{pid}"
+    w = SymbolRing(uid, cfg.num_antennas, cfg.symbol_len, s_local + 1,
+                   master=True, timeout=30.0)
+    r = SymbolRing(uid, cfg.num_antennas, cfg.symbol_len, s_local + 1,
+                   master=False, timeout=30.0)
+    t = threading.Thread(target=lambda: [w.write(block[k])
+                                         for k in range(s_local)])
+    t.start()
+    re_pl, im_pl = r.read_frame_planar(s_local, cp=0)
+    t.join(timeout=30)
+    local = (re_pl + 1j * im_pl).astype(np.complex64)
+    np.testing.assert_array_equal(local, block)
     gdata = global_from_host_blocks(local, mesh)
+    r.close()
+    w.close()
 
     # Pilot is replicated over time (every host's radio sees the pilot).
     from jax.sharding import NamedSharding, PartitionSpec as P
