@@ -83,7 +83,15 @@ def main(argv=None) -> int:
 
     ring = SymbolRing(args.shm_uid, args.antennas, ring_cols, args.frame_len,
                       master=False, timeout=args.timeout, dtype=args.ring_dtype)
-    feed = _make_feed(ring, cfg, args.cp_size, timer, catch_up=args.catch_up)
+    # Fused pipeline: place frames in the kernel's [S, A, n1, n2] layout
+    # (free host reshape; avoids an on-device re-tiling copy per frame).
+    device_shape = None
+    if rx.pipeline == "fused":
+        from ..ops.fastpath import _fast_split
+        n1, n2 = _fast_split(cfg.fft_size)
+        device_shape = (cfg.frame_len, cfg.num_antennas, n1, n2)
+    feed = _make_feed(ring, cfg, args.cp_size, timer, catch_up=args.catch_up,
+                      device_shape=device_shape)
 
     import jax
 
@@ -118,7 +126,7 @@ def main(argv=None) -> int:
     return 0
 
 
-def _make_feed(ring, cfg, cp_size, timer, catch_up=False):
+def _make_feed(ring, cfg, cp_size, timer, catch_up=False, device_shape=None):
     """RingFeed wired for a CP-carrying ring feeding a CP-free pipeline."""
     from ..io.feed import RingFeed
 
@@ -149,7 +157,7 @@ def _make_feed(ring, cfg, cp_size, timer, catch_up=False):
             self._ring.shutdown()
 
     return RingFeed(_CpRingView(ring, cp_size), cfg, timer=timer,
-                    catch_up=catch_up)
+                    catch_up=catch_up, device_shape=device_shape)
 
 
 if __name__ == "__main__":

@@ -70,7 +70,7 @@ class RingFeed:
 
     def __init__(self, ring: SymbolRing, cfg: FrameConfig,
                  timer: Optional[PhaseTimer] = None, depth: int = 2,
-                 catch_up: bool = False):
+                 catch_up: bool = False, device_shape=None):
         if ring.cols != cfg.symbol_len:
             raise ValueError(f"ring cols {ring.cols} != symbol_len {cfg.symbol_len}")
         if ring.rows != cfg.num_antennas:
@@ -86,6 +86,11 @@ class RingFeed:
         # pilot/data alignment; skipped_frames counts what was dropped.
         self.catch_up = catch_up
         self.skipped_frames = 0
+        # Optional consumer-preferred on-device shape for each frame plane
+        # (e.g. the fused kernel's [S, A, n1, n2]): reshaping the contiguous
+        # host buffer BEFORE device_put is free, while reshaping on-device
+        # costs a full layout re-tiling copy under TPU tiled layouts.
+        self.device_shape = tuple(device_shape) if device_shape else None
         self._buffers = [FrameAssembler(cfg) for _ in range(depth)]
         self._ready: "queue.Queue" = queue.Queue(maxsize=depth - 1 or 1)
         self._free: "queue.Queue" = queue.Queue()
@@ -152,11 +157,15 @@ class RingFeed:
                 # overlaps the next frame's ring reads.  On CPU backends
                 # device_put may alias the host buffer, so force a real copy
                 # there (the buffer is recycled and would be overwritten).
+                re_h, im_h = buf.re, buf.im
+                if self.device_shape is not None:
+                    re_h = re_h.reshape(self.device_shape)
+                    im_h = im_h.reshape(self.device_shape)
                 if jax.default_backend() == "cpu":
                     import jax.numpy as jnp
-                    frame = CArray(jnp.array(buf.re), jnp.array(buf.im))
+                    frame = CArray(jnp.array(re_h), jnp.array(im_h))
                 else:
-                    frame = CArray(jax.device_put(buf.re), jax.device_put(buf.im))
+                    frame = CArray(jax.device_put(re_h), jax.device_put(im_h))
                 yield frame
                 # The H2D copy must complete before the assembler is recycled;
                 # by now the consumer has dispatched its work on the frame, so

@@ -310,7 +310,12 @@ def fused_pipeline(y: CArray, hre: jnp.ndarray, him: jnp.ndarray,
     """FFT + channel-conjugate MRC over a data block.
 
     Args:
-      y:       [S, A, F] planar time-domain data symbols (CP already gone).
+      y:       [S, A, F] planar time-domain data symbols (CP already gone),
+               or pre-shaped [S, A, n1, n2].  Passing the 4D form from a
+               device array that was PLACED in that shape skips a whole-frame
+               layout re-tiling copy: under TPU tiled layouts the
+               [.., F] -> [.., n1, n2] reshape is NOT free (the (8,128) tiles
+               of the 3D array interleave antennas), profiled at ~14 us/frame.
       hre/him: [A, F] planar channel estimate h (NOT conjugated; the kernel
                multiplies by conj(h)), in fastpath permuted order
                (fft_permuted output layout).
@@ -321,8 +326,15 @@ def fused_pipeline(y: CArray, hre: jnp.ndarray, him: jnp.ndarray,
       apply _kernel_edge_gather for reference order.
     """
     interpret = _resolve_interpret(interpret)
-    s, a, f = y.shape
-    n1, n2 = _fast_split(f)
+    if y.re.ndim == 4:
+        s, a, n1, n2 = y.shape
+        f = n1 * n2
+        if (n1, n2) != _fast_split(f):
+            raise ValueError(f"4D input split ({n1}, {n2}) != fast split "
+                             f"{_fast_split(f)}")
+    else:
+        s, a, f = y.shape
+        n1, n2 = _fast_split(f)
     if n1 & (n1 - 1) or n1 < 2 or n2 % 128:
         raise ValueError(f"fused_pipeline requires a (2^k, 128) split, got "
                          f"({n1}, {n2}) for F={f}")
@@ -389,7 +401,9 @@ def demod_frame_fused(frame: CArray, x_full_perm: CArray, *, cp: int,
     """Drop-in for fastpath.demod_frame_fast backed by the fused kernel.
 
     Args:
-      frame:       [S, A, F+cp] planar time-domain frame (pilot first).
+      frame:       [S, A, F+cp] planar time-domain frame (pilot first), or
+                   pre-shaped [S, A, n1, n2] when cp == 0 (skips the operand
+                   layout copy; see fused_pipeline).
       x_full_perm: [F] planar padded pilot in permuted order
                    (fastpath.prepare_pilot_fast).
 
@@ -399,10 +413,19 @@ def demod_frame_fused(frame: CArray, x_full_perm: CArray, *, cp: int,
     """
     from . import fastpath
 
-    y = frame if cp == 0 else frame[..., cp:]
-    f = y.shape[-1]
+    if frame.re.ndim == 4:
+        if cp:
+            raise ValueError("4D pre-shaped frames must be CP-free (cp=0)")
+        y = frame
+        f = y.shape[-2] * y.shape[-1]
+        a = y.shape[1]
+        pilot_3d = CArray(y.re[0].reshape(a, f), y.im[0].reshape(a, f))
+    else:
+        y = frame if cp == 0 else frame[..., cp:]
+        f = y.shape[-1]
+        pilot_3d = y[0]
     # Pilot symbol: one-off XLA FFT; LS estimate in permuted order.
-    p = fastpath.fft_permuted(y[0])                    # [A, F]
+    p = fastpath.fft_permuted(pilot_3d)                # [A, F]
     denom = 1.0 / x_full_perm.abs2()
     hre = (p.re * x_full_perm.re + p.im * x_full_perm.im) * denom
     him = (p.im * x_full_perm.re - p.re * x_full_perm.im) * denom
