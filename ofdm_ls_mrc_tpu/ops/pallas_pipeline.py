@@ -179,12 +179,15 @@ def _stage2_dots(bre, bim, wcat_hi, wcat_lo, n2: int, exact: bool = True):
         xrwr, xrwi = p[:m, :n2], p[:m, n2:]
         xiwr, xiwi = p[m:, :n2], p[m:, n2:]
         return xrwr - xiwi, xrwi + xiwr
-    p = d(jnp.concatenate([rhi, rlo, ihi, ilo], axis=0), wcat_hi)
-    q = d(jnp.concatenate([rhi, ihi], axis=0), wcat_lo)
-    xrwr = p[:m, :n2] + p[m:2 * m, :n2] + q[:m, :n2]
-    xrwi = p[:m, n2:] + p[m:2 * m, n2:] + q[:m, n2:]
-    xiwr = p[2 * m:3 * m, :n2] + p[3 * m:, :n2] + q[m:, :n2]
-    xiwi = p[2 * m:3 * m, n2:] + p[3 * m:, n2:] + q[m:, n2:]
+    # hi rows lead so the lo-correction dot reuses a SLICE of the same
+    # operand instead of a second concatenation.
+    lhs4 = jnp.concatenate([rhi, ihi, rlo, ilo], axis=0)
+    p = d(lhs4, wcat_hi)
+    q = d(lhs4[:2 * m], wcat_lo)
+    xrwr = p[:m, :n2] + p[2 * m:3 * m, :n2] + q[:m, :n2]
+    xrwi = p[:m, n2:] + p[2 * m:3 * m, n2:] + q[:m, n2:]
+    xiwr = p[m:2 * m, :n2] + p[3 * m:, :n2] + q[m:, :n2]
+    xiwi = p[m:2 * m, n2:] + p[3 * m:, n2:] + q[m:, n2:]
     return xrwr - xiwi, xrwi + xiwr
 
 
