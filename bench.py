@@ -65,24 +65,20 @@ def bench_tpu(cfg, pilot, frames: np.ndarray, reps: int,
     from ofdm_ls_mrc_tpu.ops.fastpath import demod_frame_fast, prepare_pilot_fast
 
     k = frames.shape[0]
-    cf = CArray.from_numpy(frames)
-    cf = CArray(jax.device_put(cf.re), jax.device_put(cf.im))
     x_perm = prepare_pilot_fast(pilot, cfg.fft_size)
-    from ofdm_ls_mrc_tpu.ops.pallas_pipeline import supports_fused
+    from ofdm_ls_mrc_tpu.ops.pallas_pipeline import fused_frame_shape, supports_fused
     if pipeline == "fused" and supports_fused(cfg.fft_size):
-        from ofdm_ls_mrc_tpu.ops.fastpath import _fast_split
         from ofdm_ls_mrc_tpu.ops.pallas_pipeline import demod_frame_fused
         demod_xp = functools.partial(demod_frame_fused, cp=cfg.cyclic_prefix)
         if cfg.cyclic_prefix == 0:
             # Place frames in the kernel's [.., n1, n2] layout (free on the
             # host) so the custom call needs no operand re-tiling copy.
-            n1, n2 = _fast_split(cfg.fft_size)
             k_, s_, a_, _ = frames.shape
-            frames = frames.reshape(k_, s_, a_, n1, n2)
-            cf = CArray.from_numpy(frames)
-            cf = CArray(jax.device_put(cf.re), jax.device_put(cf.im))
+            frames = frames.reshape((k_,) + fused_frame_shape(s_, a_, cfg.fft_size))
     else:
         demod_xp = functools.partial(demod_frame_fast, cp=cfg.cyclic_prefix)
+    cf = CArray.from_numpy(frames)
+    cf = CArray(jax.device_put(cf.re), jax.device_put(cf.im))
     demod_xp_kw = lambda x, xp: demod_xp(x, x_full_perm=xp)
 
     def timed(r):

@@ -75,7 +75,6 @@ def main(argv=None) -> int:
     pilot = load_pilot(args.pilots, cfg.num_subcarriers)
     rx = UplinkReceiver(cfg, pilot, fft_impl=args.fft_impl,
                         pipeline=args.pipeline)
-    rx.warmup()
 
     continuous = args.num_frames <= 0
     timer = None if (args.no_timer or continuous) else PhaseTimer(
@@ -87,13 +86,23 @@ def main(argv=None) -> int:
     # (free host reshape; avoids an on-device re-tiling copy per frame).
     device_shape = None
     if rx.pipeline == "fused":
-        from ..ops.fastpath import _fast_split
-        n1, n2 = _fast_split(cfg.fft_size)
-        device_shape = (cfg.frame_len, cfg.num_antennas, n1, n2)
+        from ..ops.pallas_pipeline import fused_frame_shape
+        device_shape = fused_frame_shape(cfg.frame_len, cfg.num_antennas,
+                                         cfg.fft_size)
     feed = _make_feed(ring, cfg, args.cp_size, timer, catch_up=args.catch_up,
                       device_shape=device_shape)
 
     import jax
+
+    # Warm the EXACT input shape the feed will deliver: warming 3D and then
+    # feeding 4D would recompile on the first live frame, stalling the ring.
+    if device_shape is not None:
+        from ..ops.cplx import CArray
+        z = CArray(np.zeros(device_shape, np.float32),
+                   np.zeros(device_shape, np.float32))
+        jax.block_until_ready(rx.demod_frame(z).re)
+    else:
+        rx.warmup()
 
     n = 0
     try:

@@ -281,6 +281,17 @@ def to_reference_order(eq: CArray, f: int) -> CArray:
     return CArray(fix(eq.re), fix(eq.im))
 
 
+def fused_frame_shape(s: int, a: int, fft_size: int):
+    """The kernel-native frame shape [S, A, n1, n2].
+
+    Placing device arrays in this shape (a free host-side reshape of the
+    contiguous [S, A, F] buffer) avoids the operand re-tiling copy; the
+    single source of truth for callers (bench, demod_app feed) that
+    pre-shape frames."""
+    n1, n2 = _fast_split(fft_size)
+    return (s, a, n1, n2)
+
+
 def supports_fused(fft_size: int) -> bool:
     """True when the fused kernel covers this FFT size: the fast split must
     be (2^k, multiple of 128).  Single source of truth for every caller's
@@ -338,7 +349,7 @@ def fused_pipeline(y: CArray, hre: jnp.ndarray, him: jnp.ndarray,
     else:
         s, a, f = y.shape
         n1, n2 = _fast_split(f)
-    if n1 & (n1 - 1) or n1 < 2 or n2 % 128:
+    if not supports_fused(f):
         raise ValueError(f"fused_pipeline requires a (2^k, 128) split, got "
                          f"({n1}, {n2}) for F={f}")
     if ts is None:

@@ -67,16 +67,28 @@ def main() -> int:
                    master=True, timeout=30.0)
     r = SymbolRing(uid, cfg.num_antennas, cfg.symbol_len, s_local + 1,
                    master=False, timeout=30.0)
-    t = threading.Thread(target=lambda: [w.write(block[k])
-                                         for k in range(s_local)])
+    errs = []
+
+    def produce():
+        try:
+            for k in range(s_local):
+                w.write(block[k])
+        except BaseException as e:  # surface writer failures, don't hang
+            errs.append(e)
+
+    t = threading.Thread(target=produce)
     t.start()
-    re_pl, im_pl = r.read_frame_planar(s_local, cp=0)
-    t.join(timeout=30)
-    local = (re_pl + 1j * im_pl).astype(np.complex64)
-    np.testing.assert_array_equal(local, block)
-    gdata = global_from_host_blocks(local, mesh)
-    r.close()
-    w.close()
+    try:
+        re_pl, im_pl = r.read_frame_planar(s_local, cp=0)
+        t.join(timeout=30)
+        if errs:
+            raise errs[0]
+        local = (re_pl + 1j * im_pl).astype(np.complex64)
+        np.testing.assert_array_equal(local, block)
+        gdata = global_from_host_blocks(local, mesh)
+    finally:
+        r.close()
+        w.close()
 
     # Pilot is replicated over time (every host's radio sees the pilot).
     from jax.sharding import NamedSharding, PartitionSpec as P
