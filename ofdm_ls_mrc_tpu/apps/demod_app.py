@@ -110,12 +110,18 @@ def main(argv=None) -> int:
                                  else args.num_frames):
             if timer:
                 # Whole-frame pipeline: channel estimation is fused into the
-                # decode; frames cycle through slots 1..L-1 so the table's
-                # Decode row (avg over slots[1:], / num_times) reads as the
-                # per-data-symbol amortized decode time, never the skipped
-                # slot 0.
-                with timer.phase("decode",
-                                 1 + (n % max(args.frame_len - 1, 1))):
+                # decode.  Frame 0 lands in slot 0 -- EXCLUDED from the
+                # table's stats, like the reference's &decode[1] averaging --
+                # so first-dispatch overhead doesn't pollute the steady-state
+                # numbers; later frames cycle slots 1..L-1.  A single-frame
+                # run has no steady state, so its one frame goes to slot 1.
+                if args.num_frames == 1:
+                    slot = 1
+                elif n == 0:
+                    slot = 0
+                else:
+                    slot = 1 + ((n - 1) % max(args.frame_len - 1, 1))
+                with timer.phase("decode", slot):
                     out = rx.demod_frame(frame)
                     jax.block_until_ready(out.re)
             else:
