@@ -55,7 +55,7 @@ def _make_repeated(demod_xp, reps: int):
 
 
 def bench_tpu(cfg, pilot, frames: np.ndarray, reps: int,
-              pipeline: str = "fused") -> float:
+              pipeline: str = "fused", exact: bool = True) -> float:
     """Seconds per frame for the jitted whole-frame pipeline on-device."""
     import functools
 
@@ -69,7 +69,8 @@ def bench_tpu(cfg, pilot, frames: np.ndarray, reps: int,
     from ofdm_ls_mrc_tpu.ops.pallas_pipeline import fused_frame_shape, supports_fused
     if pipeline == "fused" and supports_fused(cfg.fft_size):
         from ofdm_ls_mrc_tpu.ops.pallas_pipeline import demod_frame_fused
-        demod_xp = functools.partial(demod_frame_fused, cp=cfg.cyclic_prefix)
+        demod_xp = functools.partial(demod_frame_fused, cp=cfg.cyclic_prefix,
+                                     exact=exact)
         if cfg.cyclic_prefix == 0:
             # Place frames in the kernel's [.., n1, n2] layout (free on the
             # host) so the custom call needs no operand re-tiling copy.
@@ -128,6 +129,12 @@ def main():
     ap.add_argument("--pipeline", default="fused", choices=["fused", "fast"],
                     help="fused = whole-pipeline Pallas kernel (fp32-grade "
                          "bf16-split dots); fast = XLA fastpath at --precision")
+    ap.add_argument("--kernel-precision", default="exact",
+                    choices=["exact", "bf16"],
+                    help="fused-kernel numerics: exact = fp32-grade bf16 "
+                         "hi/lo-split dots (default); bf16 = plain-bf16 speed "
+                         "mode (~1e-2 rel err, the demodCuBlas-style "
+                         "accuracy/speed trade, gpuLS.cu:771-858)")
     ap.add_argument("--cp-where", default="host", choices=["host", "device"],
                     help="host = cyclic prefix stripped during ingest, like "
                          "the reference (its ring drops the CP on host "
@@ -164,7 +171,8 @@ def main():
         samples_per_frame = cfg.frame_len * cfg.num_antennas * cfg.symbol_len
 
     t_tpu = bench_tpu(dev_cfg, pilot, dev_frames, args.reps,
-                      pipeline=args.pipeline)
+                      pipeline=args.pipeline,
+                      exact=(args.kernel_precision == "exact"))
     t_gold = bench_golden(cfg, pilot, frames[0], args.golden_reps)
 
     sps = samples_per_frame / t_tpu

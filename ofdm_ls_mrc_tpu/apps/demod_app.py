@@ -42,6 +42,10 @@ def build_parser() -> argparse.ArgumentParser:
                     help="demod path: fused Pallas kernel (falls back to fast "
                          "when FFT size has no (2^k, 128) split), XLA fastpath, "
                          "or plain composed ops")
+    ap.add_argument("--kernel-precision", default="exact",
+                    choices=["exact", "bf16"],
+                    help="fused-kernel numerics: exact = fp32-grade; bf16 = "
+                         "plain-bf16 speed mode (~1e-2 rel err)")
     ap.add_argument("--catch-up", action="store_true",
                     help="real-time mode: skip stale queued frames instead of "
                          "draining backlog (readLastSymbol semantics)")
@@ -74,7 +78,8 @@ def main(argv=None) -> int:
 
     pilot = load_pilot(args.pilots, cfg.num_subcarriers)
     rx = UplinkReceiver(cfg, pilot, fft_impl=args.fft_impl,
-                        pipeline=args.pipeline)
+                        pipeline=args.pipeline,
+                        exact=(args.kernel_precision == "exact"))
 
     continuous = args.num_frames <= 0
     timer = None if (args.no_timer or continuous) else PhaseTimer(
@@ -131,6 +136,10 @@ def main(argv=None) -> int:
     except KeyboardInterrupt:
         print(f"SIGINT: stopping after {n} frame(s)")
     print(f"demodulated {n} frame(s) -> {args.output}")
+    if feed.drop_events:
+        print(f"writer overruns: {feed.drop_events} event(s), "
+              f"{feed.resynced_frames} frame(s) discarded for resync",
+              file=sys.stderr)
 
     if timer:
         timer.print_times()
@@ -164,6 +173,10 @@ def _make_feed(ring, cfg, cp_size, timer, catch_up=False, device_shape=None):
         @property
         def available(self):
             return self._ring.available
+
+        @property
+        def dropped(self):
+            return self._ring.dropped
 
         def skip(self, n):
             return self._ring.skip(n)

@@ -96,14 +96,41 @@ def load_times(path: str) -> np.ndarray:
 
 SC16_FULL_SCALE = 32767.0
 
+# Cumulative count of component samples clipped by complex_to_sc16 (an
+# over-full-scale capture written to an sc16 ring is otherwise distorted with
+# no trace).  Read it via sc16_clipped_samples(); a one-time warning fires on
+# the first clipping call.
+_sc16_clipped = 0
+_sc16_warned = False
+
+
+def sc16_clipped_samples() -> int:
+    """Total (re/im component) samples clipped by complex_to_sc16 so far."""
+    return _sc16_clipped
+
 
 def complex_to_sc16(c: np.ndarray) -> np.ndarray:
     """complex64 -> interleaved int16 IQ, clipped to full scale.
 
     The trailing axis doubles (re, im interleaved); shape otherwise kept.
+    Samples beyond +/-1.0 full scale are clipped; clipping is counted
+    (sc16_clipped_samples) and warned about once so scale mismatches are
+    visible instead of silently distorting the stream.
     """
+    global _sc16_clipped, _sc16_warned
     c = np.ascontiguousarray(c, dtype=np.complex64)
-    iq = np.round(np.clip(c.view(np.float32) * SC16_FULL_SCALE,
+    comp = c.view(np.float32)
+    n_clip = int(np.count_nonzero(np.abs(comp) > 1.0))
+    if n_clip:
+        _sc16_clipped += n_clip
+        if not _sc16_warned:
+            _sc16_warned = True
+            import warnings
+            warnings.warn(
+                f"complex_to_sc16: {n_clip} sample component(s) beyond "
+                f"+/-1.0 full scale clipped (further clipping counted in "
+                f"sc16_clipped_samples(), not re-warned)", stacklevel=2)
+    iq = np.round(np.clip(comp * SC16_FULL_SCALE,
                           -SC16_FULL_SCALE, SC16_FULL_SCALE))
     return iq.astype(np.int16)
 

@@ -86,6 +86,16 @@ class RingFeed:
         # pilot/data alignment; skipped_frames counts what was dropped.
         self.catch_up = catch_up
         self.skipped_frames = 0
+        # Overrun-drop detection: the default live writer (ring_write wait=0)
+        # silently drops symbols on overrun, and one mid-frame drop would
+        # permanently shift the consumer's pilot/data slot alignment.  The
+        # reader snapshots the ring's dropped counter per frame; on a delta it
+        # discards the misaligned frame and skips forward to the next
+        # writer-stream frame boundary (stream index = symbols consumed +
+        # symbols dropped, since the writer emits aligned frames from index 0).
+        self.drop_events = 0
+        self.resynced_frames = 0
+        self._consumed_symbols = 0
         # Optional consumer-preferred on-device shape for each frame plane
         # (e.g. the fused kernel's [S, A, n1, n2]): reshaping the contiguous
         # host buffer BEFORE device_put is free, while reshaping on-device
@@ -103,35 +113,64 @@ class RingFeed:
     # -- reader thread -----------------------------------------------------------
     def _read_loop(self) -> None:
         cp = self.cfg.cyclic_prefix
+        fl = self.cfg.frame_len
+        dropped_seen = getattr(self.ring, "dropped", 0)
         try:
             while not self._stop.is_set():
                 buf = self._free.get()
                 if buf is None:  # stop() sentinel
                     return
-                buf.reset()
-                if self.catch_up:
-                    # Leave the freshest (possibly partial) frame in the ring
-                    # and discard everything older, whole frames at a time
-                    # (O(1) native cursor advance, no copies).
-                    fl = self.cfg.frame_len
-                    behind = (self.ring.available // fl) - 1
-                    if behind > 0:
-                        skipped = self.ring.skip(behind * fl)
-                        self.skipped_frames += skipped // fl
-                if self.timer is None and hasattr(self.ring, "read_frame_planar"):
-                    # Bulk path: one native call spin-waits and copies the
-                    # whole frame straight into the assembler's planes.
-                    self.ring.read_frame_planar(self.cfg.frame_len, cp=cp,
-                                                out_re=buf.re, out_im=buf.im)
-                    buf.mark_full()
-                else:
-                    for slot in range(self.cfg.frame_len):
-                        if self.timer:
-                            with self.timer.phase("read", slot):
+                while True:  # re-reads after discarding a drop-corrupted frame
+                    buf.reset()
+                    if self.catch_up:
+                        # Leave the freshest (possibly partial) frame in the
+                        # ring and discard everything older, whole frames at a
+                        # time (O(1) native cursor advance, no copies).
+                        behind = (self.ring.available // fl) - 1
+                        if behind > 0:
+                            skipped = self.ring.skip(behind * fl)
+                            self.skipped_frames += skipped // fl
+                            self._consumed_symbols += skipped
+                    if self.timer is None and hasattr(self.ring,
+                                                      "read_frame_planar"):
+                        # Bulk path: one native call spin-waits and copies the
+                        # whole frame straight into the assembler's planes.
+                        self.ring.read_frame_planar(fl, cp=cp,
+                                                    out_re=buf.re,
+                                                    out_im=buf.im)
+                        buf.mark_full()
+                    else:
+                        for slot in range(fl):
+                            if self.timer:
+                                with self.timer.phase("read", slot):
+                                    re, im = self.ring.read_next_planar(cp=cp)
+                            else:
                                 re, im = self.ring.read_next_planar(cp=cp)
-                        else:
-                            re, im = self.ring.read_next_planar(cp=cp)
-                        buf.push(re, im)
+                            buf.push(re, im)
+                    self._consumed_symbols += fl
+                    dropped_now = getattr(self.ring, "dropped", dropped_seen)
+                    if dropped_now == dropped_seen:
+                        break
+                    # The writer overran the ring during this frame, so the
+                    # assembled pilot/data slots are misaligned: discard the
+                    # frame and realign to the next writer-stream frame
+                    # boundary (stream index = symbols consumed + dropped;
+                    # the writer emits aligned frames from index 0).
+                    import sys
+                    n_new = dropped_now - dropped_seen
+                    dropped_seen = dropped_now
+                    self.drop_events += 1
+                    self.resynced_frames += 1
+                    misalign = (self._consumed_symbols + dropped_now) % fl
+                    print(f"RingFeed: writer dropped {n_new} symbol(s) "
+                          f"mid-frame; discarding frame and resyncing "
+                          f"({fl - misalign if misalign else 0} symbols to "
+                          f"boundary)", file=sys.stderr)
+                    # Blocking read-and-discard (not skip) keeps correct
+                    # backpressure when the boundary symbols haven't arrived.
+                    for _ in range((fl - misalign) % fl):
+                        self.ring.read_next_planar(cp=cp)
+                        self._consumed_symbols += 1
                 self._ready.put(buf)
         except (RingShutdown, RingTimeout) as e:
             self._error = e

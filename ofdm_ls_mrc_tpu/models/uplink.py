@@ -88,7 +88,8 @@ class UplinkReceiver:
 
     def __init__(self, cfg: FrameConfig, pilot_x: np.ndarray,
                  fft_impl: Optional[str] = None, donate: bool = False,
-                 pipeline: str = "fused"):
+                 pipeline: str = "fused", exact: bool = True,
+                 kernel_ts: Optional[int] = None):
         """pipeline: 'fused' routes demod_frame through the whole-pipeline
         Pallas kernel (ops/pallas_pipeline -- VMEM-resident FFT+MRC, fastest
         on v5e at the 1024-point reference geometry); 'fast' uses the XLA
@@ -96,7 +97,16 @@ class UplinkReceiver:
         'composed' uses the plain ops composition (reference for testing).
         'fused' silently falls back to 'fast' when the FFT size has no
         (2^k, 128) split.  The split-phase estimate/demod_data API always uses
-        the composed ops (its estimates are interchangeable across frames)."""
+        the composed ops (its estimates are interchangeable across frames).
+
+        exact: fused-kernel numerics.  True (default) = fp32-grade bf16
+        hi/lo-split MXU dots; False = plain-bf16 speed mode (~1e-2 relative
+        error, half the stage-2 MACs) -- the accuracy/speed split the
+        reference exposes as demodOptimized vs demodCuBlas
+        (gpuLS.cu:677-858).  Ignored by non-fused pipelines.
+
+        kernel_ts: override the fused kernel's symbol-tile height (default:
+        auto-sized to scoped VMEM; see pallas_pipeline._auto_ts)."""
         cfg.validate()
         if pipeline not in ("fused", "fast", "composed"):
             raise ValueError(f"unknown pipeline {pipeline!r}: "
@@ -107,6 +117,8 @@ class UplinkReceiver:
         self.cfg = cfg
         self.fft_impl = fft_impl or fft_ops.default_impl()
         self.pipeline = pipeline
+        self.exact = exact
+        self.kernel_ts = kernel_ts
         self.x_full = ls_ops.pad_pilot(pilot_x)
 
         # Donation is off by default: every output here is strictly smaller
@@ -122,7 +134,8 @@ class UplinkReceiver:
             x_perm = fastpath.prepare_pilot_fast(pilot_x, cfg.fft_size)
             self._demod_frame = jax.jit(functools.partial(
                 pallas_pipeline.demod_frame_fused, x_full_perm=x_perm,
-                cp=cfg.cyclic_prefix), donate_argnums=donate_args)
+                cp=cfg.cyclic_prefix, exact=exact, ts=kernel_ts),
+                donate_argnums=donate_args)
         elif pipeline == "fast" and self.fft_impl != "xla":
             x_perm = fastpath.prepare_pilot_fast(pilot_x, cfg.fft_size)
             self._demod_frame = jax.jit(functools.partial(

@@ -124,6 +124,12 @@ def _choose_tiles(a: int, f: int) -> Tuple[int, int]:
         ts //= 2
     while ac > 1 and ts * ac * f > 8 * 1024:
         ac = next(d for d in range(ac - 1, 0, -1) if a % d == 0)
+    # When the antenna count forces ac below 4, the product cap alone would
+    # admit shapes like ts=8 x ac=1 at f=1024 -- which OOMs the scoped VMEM
+    # on hardware (the HIGHEST-dot expansion scales with ts, not just the
+    # product).  Hold ts <= 2*ac, mirroring the measured-safe ts=2 x ac=4.
+    while ts > 1 and ts > 2 * ac:
+        ts //= 2
     return ts, ac
 
 

@@ -193,3 +193,34 @@ class TestFileFormats:
         gio.store_times(str(p), 1e-3, 2e-3, 3e-3, 4e-3, 5e-3)
         back = gio.load_times(str(p))
         np.testing.assert_allclose(back, [1e-3, 2e-3, 3e-3, 4e-3, 5e-3], rtol=1e-6)
+
+
+class TestSc16Clipping:
+    def test_clip_counted_and_warned_once(self, rng):
+        import warnings
+
+        from ofdm_ls_mrc_tpu.golden import io as gio
+
+        before = gio.sc16_clipped_samples()
+        hot = np.array([2.0 + 0.5j, -3.0 - 0.25j], np.complex64)
+        with warnings.catch_warnings(record=True) as w:
+            warnings.simplefilter("always")
+            gio.complex_to_sc16(hot)          # 2 components beyond full scale
+            gio.complex_to_sc16(hot)          # counted, but not re-warned
+        assert gio.sc16_clipped_samples() - before == 4
+        assert sum("complex_to_sc16" in str(x.message) for x in w) <= 1
+
+    def test_in_range_does_not_warn_or_count(self, rng):
+        import warnings
+
+        from ofdm_ls_mrc_tpu.golden import io as gio
+
+        before = gio.sc16_clipped_samples()
+        ok = (0.5 * (rng.standard_normal(64) + 1j * rng.standard_normal(64))
+              ).astype(np.complex64)
+        ok /= max(1.0, np.abs(ok.view(np.float32)).max())
+        with warnings.catch_warnings(record=True) as w:
+            warnings.simplefilter("always")
+            gio.complex_to_sc16(ok)
+        assert gio.sc16_clipped_samples() == before
+        assert not any("complex_to_sc16" in str(x.message) for x in w)

@@ -85,3 +85,19 @@ def test_symbol_padding(rng):
     hconj, hsqrd = ls_ops.estimate_channel_full(fft(CArray.from_numpy(pilot_td)), x_full)
     out = fused_demod(CArray.from_numpy(data_td), hconj, hsqrd, interpret=True)
     assert out.shape == (s, f)
+
+
+def test_choose_tiles_vmem_bounds():
+    """Tile selection must respect both the ts*ac*f product cap and the
+    ts <= 2*ac guard: _choose_tiles(1, 1024) = (8, 1) would OOM the 16 MB
+    scoped VMEM on hardware under Mosaic's HIGHEST dot (ADVICE r1)."""
+    from ofdm_ls_mrc_tpu.ops.pallas_mrc import _choose_tiles
+
+    for a in (1, 2, 3, 4, 5, 8, 16, 64):
+        for f in (64, 256, 1024, 4096):
+            ts, ac = _choose_tiles(a, f)
+            assert a % ac == 0
+            assert ts * ac * f <= 8 * 1024 or ts == 1
+            assert ts <= 2 * ac or ts == 1
+    assert _choose_tiles(1, 1024) == (2, 1)
+    assert _choose_tiles(16, 1024) == (2, 4)

@@ -383,6 +383,91 @@ class TestCatchUpFeed:
             w.close()
 
 
+class _ScriptedRing:
+    """Duck-typed ring delivering a scripted consumer stream: each entry is
+    (writer_stream_idx, dropped_total_after_this_read).  Lets the feed's
+    overrun-resync logic be tested deterministically (a real no-wait overrun
+    race cannot pin WHERE in the frame the drop lands)."""
+
+    def __init__(self, rows, cols, stream):
+        self.rows, self.cols = rows, cols
+        self._stream = list(stream)
+        self._dropped = 0
+
+    def read_next_planar(self, cp=0):
+        from ofdm_ls_mrc_tpu.io.ring import RingShutdown
+        if not self._stream:
+            raise RingShutdown("stream exhausted")
+        idx, dropped = self._stream.pop(0)
+        self._dropped = dropped
+        re = np.full((self.rows, self.cols), float(idx), np.float32)
+        return re, np.zeros_like(re)
+
+    @property
+    def dropped(self):
+        return self._dropped
+
+    @property
+    def available(self):
+        return len(self._stream)
+
+    def skip(self, n):
+        k = min(n, len(self._stream))
+        for _ in range(k):
+            self.read_next_planar()
+        return k
+
+    def shutdown(self):
+        self._stream = []
+
+
+class TestDropResync:
+    def test_mid_frame_drop_discards_and_resyncs(self):
+        """A writer overrun mid-frame shifts pilot/data slot alignment; the
+        feed must detect the ring's dropped-counter delta, discard the
+        misaligned frame, and realign to the next writer-stream frame
+        boundary instead of silently decoding garbage forever."""
+        from ofdm_ls_mrc_tpu import FrameConfig
+        from ofdm_ls_mrc_tpu.io.feed import RingFeed
+
+        cfg = FrameConfig(num_antennas=ROWS, fft_size=COLS, cyclic_prefix=0,
+                          frame_len=3)
+        # Writer stream: frames [0,1,2] [3,4,5] [6,7,8] [9,10,11]; symbol 4
+        # is dropped on overrun, so the consumer sees 3,5,6 as its second
+        # "frame" (misaligned) with the dropped counter stepping to 1.
+        stream = [(0, 0), (1, 0), (2, 0),
+                  (3, 0), (5, 1), (6, 1),
+                  (7, 1), (8, 1),
+                  (9, 1), (10, 1), (11, 1)]
+        feed = RingFeed(_ScriptedRing(ROWS, COLS, stream), cfg)
+        frames = [np.asarray(f.re)[:, 0, 0] for f in feed.frames(max_frames=2)]
+        feed.stop()
+        assert feed.drop_events == 1
+        assert feed.resynced_frames == 1
+        np.testing.assert_array_equal(frames[0], [0.0, 1.0, 2.0])
+        # The misaligned [3,5,6] frame is discarded, 7 and 8 consumed to
+        # reach the boundary, and the next delivered frame is the aligned
+        # writer frame [9,10,11].
+        np.testing.assert_array_equal(frames[1], [9.0, 10.0, 11.0])
+
+    def test_whole_frame_drop_keeps_alignment(self):
+        """Drops in whole-frame multiples preserve alignment: the triggering
+        frame is still discarded (conservative) but no boundary skip is
+        needed and the next frame is delivered as-is."""
+        from ofdm_ls_mrc_tpu import FrameConfig
+        from ofdm_ls_mrc_tpu.io.feed import RingFeed
+
+        cfg = FrameConfig(num_antennas=ROWS, fft_size=COLS, cyclic_prefix=0,
+                          frame_len=3)
+        stream = [(0, 0), (1, 0), (2, 3),      # frame 1 (idx 3-5) dropped
+                  (6, 3), (7, 3), (8, 3)]
+        feed = RingFeed(_ScriptedRing(ROWS, COLS, stream), cfg)
+        frames = [np.asarray(f.re)[:, 0, 0] for f in feed.frames(max_frames=1)]
+        feed.stop()
+        assert feed.drop_events == 1
+        np.testing.assert_array_equal(frames[0], [6.0, 7.0, 8.0])
+
+
 def _xproc_producer(uid, n, rows, cols, length):
     import numpy as np
     from ofdm_ls_mrc_tpu.io.ring import SymbolRing
