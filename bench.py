@@ -100,6 +100,79 @@ def bench_tpu(cfg, pilot, frames: np.ndarray, reps: int,
     return max(thi - t1, 1e-12) / ((r_hi - 1) * k)
 
 
+def psum_payload_bytes(cfg, n_time: int) -> int:
+    """Logical bytes each device contributes to the fused MRC psum per frame:
+    the (num_re, num_im, |H|^2) payload -- (2*S_local + 1) * F fp32 words,
+    S_local = data symbols per time shard.  The TPU-native cost model for the
+    reference's antenna tree-reduction (gpuLS.cu:198-203,247-252)."""
+    s_local = cfg.num_data_symbols // n_time
+    return (2 * s_local + 1) * cfg.fft_size * 4
+
+
+def bench_sharded(cfg, pilot, frames: np.ndarray, reps: int,
+                  mesh_shape, pipeline: str = "fast", r_hi: int = 101) -> float:
+    """Seconds per frame for the SHARDED receiver over an (ant, time) mesh.
+
+    Same elision-proof R-loop as bench_tpu, with the frame pre-split into
+    (pilot, data) and placed with the mesh shardings so the timed program
+    contains no input resharding -- only the pipeline body and its single
+    fused psum over the ``ant`` axis.
+    """
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from ofdm_ls_mrc_tpu.ops.cplx import CArray
+    from ofdm_ls_mrc_tpu.parallel import ShardedUplinkReceiver, make_mesh
+    from ofdm_ls_mrc_tpu.parallel.mesh import ANT_AXIS, TIME_AXIS
+
+    n_ant, n_time = mesh_shape
+    ndev = n_ant * n_time
+    devs = jax.devices()
+    if len(devs) < ndev:
+        raise SystemExit(f"--mesh {n_ant}x{n_time} needs {ndev} devices, "
+                         f"have {len(devs)}")
+    mesh = make_mesh(n_ant, n_time, devices=devs[:ndev])
+    rx = ShardedUplinkReceiver(cfg, pilot, mesh, pipeline=pipeline)
+
+    k = frames.shape[0]
+    c = CArray.from_numpy(frames)                      # [K, S, A, N]
+    ps = NamedSharding(mesh, P(None, ANT_AXIS, None))
+    ds = NamedSharding(mesh, P(None, TIME_AXIS, ANT_AXIS, None))
+    pilots = CArray(jax.device_put(np.ascontiguousarray(c.re[:, 0]), ps),
+                    jax.device_put(np.ascontiguousarray(c.im[:, 0]), ps))
+    datas = CArray(jax.device_put(np.ascontiguousarray(c.re[:, 1:]), ds),
+                   jax.device_put(np.ascontiguousarray(c.im[:, 1:]), ds))
+    demod = rx._demod
+    xp = rx.x_full
+
+    def make(r):
+        def prog(pilots, datas, xpv):
+            def rep(_, acc):
+                def body(cacc, pd):
+                    p, d = pd
+                    xpc = CArray(xpv.re + cacc, xpv.im)
+                    out = demod(p, d, xpc)
+                    return cacc + (jnp.sum(out.re) + jnp.sum(out.im)) * 1e-20, None
+                cacc, _ = jax.lax.scan(body, acc, (pilots, datas))
+                return cacc
+            return jax.lax.fori_loop(0, r, rep, 0.0)
+        return jax.jit(prog)
+
+    def timed(r):
+        f = make(r)
+        float(f(pilots, datas, xp))  # compile + warm
+        best = float("inf")
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            float(f(pilots, datas, xp))
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    t1, thi = timed(1), timed(r_hi)
+    return max(thi - t1, 1e-12) / ((r_hi - 1) * k)
+
+
 def bench_golden(cfg, pilot, frame: np.ndarray, reps: int) -> float:
     """Median seconds per frame for the golden NumPy chain (cpuLS stand-in)."""
     from ofdm_ls_mrc_tpu.golden import dsp
@@ -135,6 +208,14 @@ def main():
                          "hi/lo-split dots (default); bf16 = plain-bf16 speed "
                          "mode (~1e-2 rel err, the demodCuBlas-style "
                          "accuracy/speed trade, gpuLS.cu:771-858)")
+    ap.add_argument("--mesh", default=None, metavar="ANTxTIME",
+                    help="bench the SHARDED receiver over an (ant, time) "
+                         "device mesh, e.g. 1x1 (hardware single chip) or "
+                         "8x1 (virtual CPU mesh): antenna-sharded MRC with "
+                         "one fused psum (the distributed form of the "
+                         "reference's antenna tree-reduce, "
+                         "gpuLS.cu:198-203,247-252).  Reports samples/s/chip "
+                         "and the psum payload bytes/frame.")
     ap.add_argument("--cp-where", default="host", choices=["host", "device"],
                     help="host = cyclic prefix stripped during ingest, like "
                          "the reference (its ring drops the CP on host "
@@ -169,6 +250,24 @@ def main():
     else:
         dev_frames, dev_cfg = frames, cfg
         samples_per_frame = cfg.frame_len * cfg.num_antennas * cfg.symbol_len
+
+    if args.mesh:
+        n_ant, n_time = (int(v) for v in args.mesh.lower().split("x"))
+        t_tpu = bench_sharded(dev_cfg, pilot, dev_frames, args.reps,
+                              (n_ant, n_time), pipeline=args.pipeline)
+        t_gold = bench_golden(cfg, pilot, frames[0], args.golden_reps)
+        sps = samples_per_frame / t_tpu
+        sps_gold = samples_per_frame / t_gold
+        print(json.dumps({
+            "metric": "ofdm_samples_per_sec_per_chip",
+            "value": round(sps / (n_ant * n_time), 1),
+            "unit": "samples/s",
+            "vs_baseline": round(sps / sps_gold, 2),
+            "mesh": f"{n_ant}x{n_time}",
+            "total_samples_per_sec": round(sps, 1),
+            "psum_payload_bytes_per_frame": psum_payload_bytes(dev_cfg, n_time),
+        }))
+        return
 
     t_tpu = bench_tpu(dev_cfg, pilot, dev_frames, args.reps,
                       pipeline=args.pipeline,

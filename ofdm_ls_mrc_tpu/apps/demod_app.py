@@ -46,9 +46,18 @@ def build_parser() -> argparse.ArgumentParser:
                     choices=["exact", "bf16"],
                     help="fused-kernel numerics: exact = fp32-grade; bf16 = "
                          "plain-bf16 speed mode (~1e-2 rel err)")
+    ap.add_argument("--per-symbol", action="store_true",
+                    help="per-symbol streaming mode: ring -> "
+                         "StreamingDemodulator -> output row per symbol, with "
+                         "faithful per-slot read/chanest/decode timing rows "
+                         "(the reference's main runtime loop, "
+                         "cpuLS_main.cpp:80-93, gpuLS.cu:410-473)")
     ap.add_argument("--catch-up", action="store_true",
                     help="real-time mode: skip stale queued frames instead of "
-                         "draining backlog (readLastSymbol semantics)")
+                         "draining backlog (readLastSymbol semantics); in "
+                         "--per-symbol mode data symbols are read with "
+                         "readLastSymbol semantics like the reference GPU "
+                         "loop (gpuLS.cu:419-424)")
     ap.add_argument("--ring-dtype", default="complex64",
                     choices=["complex64", "sc16"],
                     help="shm element format (must match the RX master)")
@@ -77,9 +86,6 @@ def main(argv=None) -> int:
     ring_cols = args.fft_size + args.cp_size
 
     pilot = load_pilot(args.pilots, cfg.num_subcarriers)
-    rx = UplinkReceiver(cfg, pilot, fft_impl=args.fft_impl,
-                        pipeline=args.pipeline,
-                        exact=(args.kernel_precision == "exact"))
 
     continuous = args.num_frames <= 0
     timer = None if (args.no_timer or continuous) else PhaseTimer(
@@ -87,6 +93,13 @@ def main(argv=None) -> int:
 
     ring = SymbolRing(args.shm_uid, args.antennas, ring_cols, args.frame_len,
                       master=False, timeout=args.timeout, dtype=args.ring_dtype)
+
+    if args.per_symbol:
+        return _run_per_symbol(args, cfg, pilot, ring, timer, continuous)
+
+    rx = UplinkReceiver(cfg, pilot, fft_impl=args.fft_impl,
+                        pipeline=args.pipeline,
+                        exact=(args.kernel_precision == "exact"))
     # Fused pipeline: place frames in the kernel's [S, A, n1, n2] layout
     # (free host reshape; avoids an on-device re-tiling copy per frame).
     device_shape = None
@@ -146,6 +159,68 @@ def main(argv=None) -> int:
         if args.store_times:
             timer.store_times(args.store_times)
     feed.stop()   # join the reader thread before unmapping the segment
+    ring.close()
+    return 0
+
+
+def _run_per_symbol(args, cfg, pilot, ring, timer, continuous) -> int:
+    """Per-symbol streaming loop: the reference's main runtime shape
+    (firstVector + per-symbol demodOneSymbol, cpuLS_main.cpp:80-93,
+    gpuLS.cu:410-473) -- read a symbol from the ring, refresh the estimate on
+    slot 0, demod and append an output row on slots 1..L-1, with per-slot
+    read (here) / chanest / decode (inside StreamingDemodulator) timers."""
+    import jax
+
+    from ..golden.io import append_output
+    from ..io.ring import RingShutdown, RingTimeout
+    from ..models.streaming import StreamingDemodulator
+    from ..ops.cplx import CArray
+
+    pipeline = "fused" if args.pipeline == "fused" else "composed"
+    sd = StreamingDemodulator(cfg, pilot, fft_impl=args.fft_impl,
+                              timer=timer, pipeline=pipeline)
+    sd.warmup()
+
+    cp = args.cp_size
+    n_sym = 0
+    frames_done = 0
+    first_write = True
+    try:
+        f = 0
+        while continuous or f < args.num_frames:
+            for slot in range(args.frame_len):
+                # Data symbols honor readLastSymbol semantics under
+                # --catch-up (the reference GPU loop, gpuLS.cu:419-424);
+                # the pilot always reads in order to keep frame alignment.
+                read = (ring.read_last_planar
+                        if (args.catch_up and slot > 0)
+                        else ring.read_next_planar)
+                if timer:
+                    with timer.phase("read", slot):
+                        re, im = read(cp=cp)
+                else:
+                    re, im = read(cp=cp)
+                sym = CArray(re, im)
+                if slot == 0:
+                    sd.push_pilot(sym, slot=slot)
+                else:
+                    out = sd.push_symbol(sym, slot=slot)
+                    append_output(args.output, out.to_numpy(),
+                                  truncate=first_write)
+                    first_write = False
+                n_sym += 1
+            frames_done += 1
+            f += 1
+    except KeyboardInterrupt:
+        print(f"SIGINT: stopping after {frames_done} frame(s), {n_sym} symbols")
+    except (RingShutdown, RingTimeout) as e:
+        print(f"ring ended ({type(e).__name__}) after {frames_done} frame(s), "
+              f"{n_sym} symbols")
+    print(f"demodulated {frames_done} frame(s) per-symbol -> {args.output}")
+    if timer:
+        timer.print_times()
+        if args.store_times:
+            timer.store_times(args.store_times)
     ring.close()
     return 0
 

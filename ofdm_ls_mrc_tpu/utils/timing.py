@@ -7,6 +7,17 @@ summarization (findAvgAndVar, ShMemSymBuff.hpp:125-147), the console table
 (printTimes, ShMemSymBuff.hpp:149-164, frame-latency line
 ShMemSymBuff_cucomplex.hpp:166-172), and the binary 5-word dump
 (storeTimes, ShMemSymBuff.hpp:166-189) via golden.io.store_times.
+
+Normalization: the reference accumulates into each slot exactly ``numTimes``
+times and divides once at report time (cpuLS.hpp:284 ``fft[it] += ...``;
+printTimes /numTimes, ShMemSymBuff.hpp:154-157).  This class generalizes
+that contract to NON-uniform slot occupancy -- e.g. demod_app's whole-frame
+mode, where frames cycle decode slots 1..L-1 so each slot receives ~N/(L-1)
+samples -- by tracking a per-slot occurrence count and dividing each slot's
+accumulated total by its OWN count.  When every slot is hit exactly
+``numTimes`` times (the reference pattern), the result is identical to the
+reference's.  Summary statistics are the mean and population variance across
+the per-slot means of the slots that received at least one sample.
 """
 
 from __future__ import annotations
@@ -14,7 +25,7 @@ from __future__ import annotations
 import contextlib
 import time
 from dataclasses import dataclass, field
-from typing import Dict, List, Tuple
+from typing import Dict, Tuple
 
 import numpy as np
 
@@ -36,51 +47,64 @@ def find_avg_and_var(times: np.ndarray) -> Tuple[float, float]:
 
 @dataclass
 class PhaseTimer:
-    """Accumulates per-symbol (or per-frame) phase times.
+    """Accumulates per-symbol (or per-frame) phase times by frame slot.
 
-    The reference indexes timers by symbol slot and accumulates across
-    ``numTimes`` outer repetitions (cpuLS.hpp:284 ``fft[it] += ...``);
-    this class does the same with ``num_times`` as the divisor at report
-    time (printTimes divides by numTimes, ShMemSymBuff.hpp:154-157).
+    ``num_times`` is informational (the configured outer repetition count);
+    all statistics divide by the actual per-slot occurrence counts, so
+    unevenly-filled slots (whole-frame mode) and the uniform reference
+    pattern both report faithful per-occurrence times.
     """
 
     num_slots: int
     num_times: int = 1
     data: Dict[str, np.ndarray] = field(default_factory=dict)
+    counts: Dict[str, np.ndarray] = field(default_factory=dict)
 
     def __post_init__(self):
         for p in PHASES:
             self.data[p] = np.zeros(self.num_slots, dtype=np.float64)
+            self.counts[p] = np.zeros(self.num_slots, dtype=np.int64)
 
     @contextlib.contextmanager
     def phase(self, name: str, slot: int):
         t0 = time.perf_counter()
         yield
         self.data[name][slot] += time.perf_counter() - t0
+        self.counts[name][slot] += 1
 
     def add(self, name: str, slot: int, seconds: float) -> None:
         self.data[name][slot] += seconds
+        self.counts[name][slot] += 1
 
     # -- reporting -----------------------------------------------------------
+    def slot_means(self, name: str) -> np.ndarray:
+        """Per-slot mean seconds per occurrence (0 for slots never hit)."""
+        c = self.counts[name]
+        return np.divide(self.data[name], c, out=np.zeros(self.num_slots),
+                         where=c > 0)
+
+    def _stats(self, name: str, skip_slot0: bool = False) -> Tuple[float, float]:
+        means = self.slot_means(name)
+        hit = self.counts[name] > 0
+        if skip_slot0 and self.num_slots > 1:
+            means, hit = means[1:], hit[1:]
+        return find_avg_and_var(means[hit])
+
     def summary(self) -> Dict[str, Tuple[float, float]]:
-        """Phase -> (avg, var), scaled by num_times like printTimes.
+        """Phase -> (avg, var) per occurrence across occupied slots.
 
         'chanest' is slot 0 of decode in the reference (decode[0],
         ShMemSymBuff.hpp:155); here it is its own phase array, and 'decode'
         statistics skip slot 0 to mirror &decode[1] (ShMemSymBuff.hpp:151).
         """
         out = {}
-        n = self.num_times
-        read = find_avg_and_var(self.data["read"])
-        out["read"] = (read[0] / n, read[1] / n)
-        out["chanest"] = (float(self.data["chanest"][0]) / n, 0.0)
-        dec = find_avg_and_var(self.data["decode"][1:]) if self.num_slots > 1 \
-            else find_avg_and_var(self.data["decode"])
-        out["decode"] = (dec[0] / n, dec[1] / n)
-        fft = find_avg_and_var(self.data["fft"])
-        out["fft"] = (fft[0] / n, fft[1] / n)
-        drop = find_avg_and_var(self.data["drop"])
-        out["drop"] = (drop[0] / n, drop[1] / n)
+        out["read"] = self._stats("read")
+        ce = self.slot_means("chanest")
+        ce_hit = self.counts["chanest"] > 0
+        out["chanest"] = (float(ce[ce_hit].mean()) if ce_hit.any() else 0.0, 0.0)
+        out["decode"] = self._stats("decode", skip_slot0=True)
+        out["fft"] = self._stats("fft")
+        out["drop"] = self._stats("drop")
         return out
 
     def frame_latency(self) -> float:

@@ -181,3 +181,54 @@ def test_rx_app_no_peak_errors_cleanly(workdir):
 def test_tx_app_requires_out():
     r = run(["ofdm_ls_mrc_tpu.apps.tx_app"])
     assert r.returncode == 2
+
+
+def test_per_symbol_mode_loopback(workdir):
+    """--per-symbol: ring -> StreamingDemodulator -> output, one row per
+    data symbol, with the per-slot read/chanest/decode table (the
+    reference's per-symbol runtime loop, cpuLS_main.cpp:80-93)."""
+    cap = str(workdir / "capture.dat")
+    sent = str(workdir / "sent.dat")
+    out = str(workdir / "Output_tpu.dat")
+    uid = f"/ofdm_app_{uuid.uuid4().hex[:8]}"
+    common = ["--antennas", str(A), "--fft-size", str(F),
+              "--cp-size", str(CP), "--frame-len", str(S)]
+
+    r = run(["ofdm_ls_mrc_tpu.apps.tx_app", "--out", cap, "--data-out", sent,
+             "--pn-preamble", "--snr", "35", "--channel-taps", "4",
+             "--pilots", str(workdir / "nonexistent_pilots.dat"),
+             "--pn-file", str(workdir / "nonexistent_pn.dat")] + common
+            + ["--num-frames", "2"])
+    assert r.returncode == 0, r.stderr
+
+    rx = subprocess.Popen(
+        [sys.executable, "-m", "ofdm_ls_mrc_tpu.apps.rx_app", "--file", cap,
+         "--shm-uid", uid, "--thres", "0.05", "--wait-writes",
+         "--pn-file", str(workdir / "nonexistent_pn.dat"),
+         "--num-frames", "2"] + common,
+        cwd=REPO, env=ENV_BASE, stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+        text=True)
+    dm = subprocess.Popen(
+        [sys.executable, "-m", "ofdm_ls_mrc_tpu.apps.demod_app",
+         "--shm-uid", uid, "--output", out, "--num-frames", "2",
+         "--per-symbol",
+         "--pilots", str(workdir / "nonexistent_pilots.dat")] + common,
+        cwd=REPO, env=ENV_BASE, stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+        text=True)
+    rx_out, rx_err = rx.communicate(timeout=300)
+    dm_out, dm_err = dm.communicate(timeout=300)
+    assert rx.returncode == 0, rx_err + rx_out
+    assert dm.returncode == 0, dm_err + dm_out
+    assert "per-symbol" in dm_out
+
+    got = np.fromfile(out, dtype=np.complex64).reshape(2 * (S - 1), F - 1)
+    want = np.fromfile(sent, dtype=np.complex64).reshape(2 * (S - 1), F - 1)
+    got_natural = np.fft.fftshift(got, axes=-1)
+    evm = 10 * np.log10(np.mean(np.abs(got_natural - want) ** 2)
+                        / np.mean(np.abs(want) ** 2))
+    assert evm < -25.0, f"EVM {evm:.1f} dB"
+    # The faithful per-slot table: read + chanest + decode avgs all nonzero.
+    for row in ("Read:", "ChanEst:", "Decode:"):
+        line = next(ln for ln in dm_out.splitlines() if ln.startswith(row))
+        avg = float(line.replace(row, "").split()[0])
+        assert avg > 0.0, f"{row} average is zero in:\n{dm_out}"

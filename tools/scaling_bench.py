@@ -1,0 +1,123 @@
+"""Antenna-scaling efficiency harness (BASELINE.json metric 2).
+
+Runs the SHARDED uplink receiver (parallel/sharded.py -- antenna-sharded MRC
+with one fused psum, the distributed form of the reference's intra-GPU
+antenna tree-reduce, gpuLS.cu:198-203,247-252) over a growing ``ant`` mesh
+axis and reports a scaling table: seconds/frame, total samples/s,
+samples/s/chip, efficiency vs the 1-shard run, and the psum payload
+bytes/frame each shard contributes.
+
+On a TPU pod slice this measures real ICI scaling.  On a single host it runs
+on the virtual CPU mesh (``--virtual 8``): every "device" shares the same
+host cores, so efficiency there validates the COLLECTIVE STRUCTURE (payload
+size, no pathological resharding) rather than hardware scaling -- the same
+harness runs unchanged on a pod later.
+
+Usage:
+  python tools/scaling_bench.py --virtual 8                  # CPU mesh
+  python tools/scaling_bench.py --shards 1 --batch 8         # hw single chip
+  python tools/scaling_bench.py --antennas 64 --virtual 8 --pipeline fast
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--shards", default="1,2,4,8",
+                    help="comma list of antenna-shard counts")
+    ap.add_argument("--virtual", type=int, default=0, metavar="N",
+                    help="run on an N-device virtual CPU mesh (forces the "
+                         "cpu platform; must be >= max shards)")
+    ap.add_argument("--antennas", type=int, default=16)
+    ap.add_argument("--fft", type=int, default=1024)
+    ap.add_argument("--symbols", type=int, default=101)
+    ap.add_argument("--batch", type=int, default=2,
+                    help="device-resident frames per measurement")
+    ap.add_argument("--reps", type=int, default=3, help="best-of repetitions")
+    ap.add_argument("--r-hi", type=int, default=None,
+                    help="in-program repeat count (default: 5 on the virtual "
+                         "CPU mesh, 101 on hardware -- see "
+                         "docs/PERF.md methodology)")
+    ap.add_argument("--pipeline", default="fast", choices=["fast", "fused"],
+                    help="shard body (fused = Pallas kernel per shard; "
+                         "interpret-mode on CPU is slow)")
+    args = ap.parse_args()
+
+    if args.virtual:
+        os.environ["XLA_FLAGS"] = (
+            os.environ.get("XLA_FLAGS", "")
+            + f" --xla_force_host_platform_device_count={args.virtual}")
+    import jax
+    if args.virtual:
+        jax.config.update("jax_platforms", "cpu")
+
+    import numpy as np
+
+    sys.path.insert(0, os.path.abspath(os.path.join(os.path.dirname(__file__),
+                                                    "..")))
+    from bench import bench_sharded, psum_payload_bytes
+
+    from ofdm_ls_mrc_tpu import FrameConfig
+    from ofdm_ls_mrc_tpu.ops import fft as fft_ops
+
+    shards = [int(s) for s in args.shards.split(",")]
+    ndev = len(jax.devices())
+    if max(shards) > ndev:
+        raise SystemExit(f"need {max(shards)} devices, have {ndev} "
+                         f"(use --virtual {max(shards)})")
+    r_hi = args.r_hi or (5 if args.virtual else 101)
+
+    cfg = FrameConfig(num_antennas=args.antennas, fft_size=args.fft,
+                      cyclic_prefix=0, frame_len=args.symbols)
+    fft_ops.set_precision("high")
+    rng = np.random.default_rng(0)
+    pilot = np.exp(2j * np.pi * rng.random(cfg.num_subcarriers)
+                   ).astype(np.complex64)
+    frames = (rng.standard_normal((args.batch, cfg.frame_len,
+                                   cfg.num_antennas, cfg.symbol_len))
+              + 1j * rng.standard_normal((args.batch, cfg.frame_len,
+                                          cfg.num_antennas, cfg.symbol_len))
+              ).astype(np.complex64)
+    samples_per_frame = cfg.frame_len * cfg.num_antennas * cfg.fft_size
+
+    rows = []
+    t1 = None
+    for n in shards:
+        if cfg.num_antennas % n:
+            print(f"skip {n} shards: {cfg.num_antennas} antennas not divisible")
+            continue
+        t = bench_sharded(cfg, pilot, frames, args.reps, (n, 1),
+                          pipeline=args.pipeline, r_hi=r_hi)
+        if t1 is None:
+            t1 = t
+        eff = t1 / (n * t)
+        rows.append({"ant_shards": n, "sec_per_frame": t,
+                     "total_samples_per_sec": samples_per_frame / t,
+                     "samples_per_sec_per_chip": samples_per_frame / t / n,
+                     "efficiency_vs_1shard": eff,
+                     "psum_payload_bytes_per_frame": psum_payload_bytes(cfg, 1)})
+        print(f"ant={n:2d}  {t*1e6:10.1f} us/frame  "
+              f"{samples_per_frame/t/1e9:8.2f} Gs/s total  "
+              f"{samples_per_frame/t/n/1e9:8.2f} Gs/s/chip  "
+              f"eff={eff*100:6.1f}%  "
+              f"psum={psum_payload_bytes(cfg, 1)} B/frame", flush=True)
+
+    print(json.dumps({
+        "metric": "antenna_scaling",
+        "pipeline": args.pipeline,
+        "platform": jax.devices()[0].platform,
+        "virtual": bool(args.virtual),
+        "config": {"antennas": args.antennas, "fft": args.fft,
+                   "symbols": args.symbols},
+        "rows": rows,
+    }))
+
+
+if __name__ == "__main__":
+    main()
