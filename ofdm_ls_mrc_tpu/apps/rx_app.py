@@ -22,11 +22,27 @@ import numpy as np
 
 def build_parser() -> argparse.ArgumentParser:
     ap = argparse.ArgumentParser(description=__doc__)
-    # Reference CLI surface (hardware params accepted and logged; no UHD here).
-    ap.add_argument("--rate", type=float, default=1e6, help="sample rate (sps)")
-    ap.add_argument("--freq", type=float, default=0.0, help="RF center frequency")
-    ap.add_argument("--gain", type=float, default=0.0, help="RF gain")
-    ap.add_argument("--channels", default="0", help="channel list (informational)")
+    # Reference CLI surface (rx_and_corr.cpp:100-121; hardware params
+    # validated and logged per channel; no UHD here).  rate/freq/gain/bw
+    # accept per-channel comma lists; scalars broadcast like the reference.
+    ap.add_argument("--rate", default="1e6", help="sample rate (sps), scalar "
+                    "or per-channel comma list")
+    ap.add_argument("--freq", default="0.0", help="RF center frequency (Hz), "
+                    "scalar or per-channel comma list")
+    ap.add_argument("--gain", default="0.0", help="RF gain (dB), scalar or "
+                    "per-channel comma list")
+    ap.add_argument("--bw", default="0.0", help="analog frontend bandwidth "
+                    "(Hz), scalar or per-channel comma list")
+    ap.add_argument("--ant", default=None, help="antenna selection "
+                    "(rx_and_corr.cpp:193-195; informational)")
+    ap.add_argument("--sync", default="now", choices=["now", "pps", "mimo"],
+                    help="clock sync method (rx_and_corr.cpp:237-260; "
+                         "informational)")
+    ap.add_argument("--channels", default=None,
+                    help="capture row(s) to use, e.g. '0' or '0,2' "
+                         "(rx_and_corr.cpp:113-114); default: all rows.  "
+                         "Selected rows become the ring's antenna rows and "
+                         "the per-channel dump set")
     ap.add_argument("--frame-size", type=int, default=1024,
                     help="samples per receive buffer (num_samps)")
     ap.add_argument("--thres", type=float, default=0.1,
@@ -41,6 +57,13 @@ def build_parser() -> argparse.ArgumentParser:
     ap.add_argument("--pn-file", default="PNSeq_255_MaxLenSeq.dat")
     ap.add_argument("--no-sync", action="store_true",
                     help="skip PN correlation; treat input as frame-aligned")
+    ap.add_argument("--continuous-sync", action="store_true",
+                    help="correlate EVERY receive buffer and re-acquire after "
+                         "drift/gaps/slips instead of syncing once (the "
+                         "reference receive loop, rx_and_corr.cpp:305-405); "
+                         "requires the PN before every frame (tx_app "
+                         "--pn-every-frame); aligned frames are written to "
+                         "the ring from a producer thread")
     ap.add_argument("--antennas", type=int, default=16)
     ap.add_argument("--fft-size", type=int, default=1024)
     ap.add_argument("--frame-len", type=int, default=101,
@@ -89,17 +112,30 @@ def main(argv=None) -> int:
     from ..golden.io import load_pn_sequence
     from ..io.ring import RingShutdown, SymbolRing
     from ..sim.pn import correlate_frame_start
-
-    print(f"RX config: rate={args.rate/1e6:.3f} Msps freq={args.freq/1e6:.3f} MHz "
-          f"gain={args.gain} dB channels={args.channels}")
+    from ._cli import log_channel_config, parse_channels, per_channel
 
     if args.file is None:
         print("no --file given: nothing to play", file=sys.stderr)
         return 2
 
     samples = load_capture(args.file, args.antennas, args.file_format)  # [A, N]
+    # Per-channel configuration: the reference loops the channel list
+    # applying rate/freq/gain/bw/ant to each (rx_and_corr.cpp:157-198);
+    # here the selected channels become the capture rows used.
+    chan_ids = parse_channels(args.channels, samples.shape[0])
+    n_ch = len(chan_ids)
+    log_channel_config("RX", chan_ids,
+                       per_channel(args.rate, n_ch, "--rate"),
+                       per_channel(args.freq, n_ch, "--freq"),
+                       per_channel(args.gain, n_ch, "--gain"),
+                       per_channel(args.bw, n_ch, "--bw"), args.ant)
+    samples = samples[chan_ids]
     sym_len = args.fft_size + args.cp_size
     frame_samps = args.frame_len * sym_len
+
+    if args.continuous_sync:
+        return _run_continuous_sync(args, samples, sym_len, frame_samps,
+                                    chan_ids)
 
     # Frame synchronization: slide the PN correlator over antenna 0 (the
     # reference scans channels in order and stops at the first hit,
@@ -116,10 +152,10 @@ def main(argv=None) -> int:
         print(f"PN sync: start={start} peak={peak:.4f}")
         start += pn.size  # payload begins after the preamble
 
-    ring = SymbolRing(args.shm_uid, args.antennas, sym_len, args.frame_len,
+    ring = SymbolRing(args.shm_uid, n_ch, sym_len, args.frame_len,
                       master=True, timeout=args.timeout, dtype=args.ring_dtype)
     print(f"ring master up: uid={args.shm_uid} "
-          f"[{args.antennas} x {sym_len}] x {args.frame_len}")
+          f"[{n_ch} x {sym_len}] x {args.frame_len}")
 
     # --num-frames 0: continuous file-player mode -- cycle the capture until
     # SIGINT or reader shutdown (the reference RX runs `while !stop_signal`,
@@ -149,12 +185,12 @@ def main(argv=None) -> int:
             f += 1
         if args.dump_aligned:
             dump_frames = min(frames_sent, avail_frames)  # continuous mode cycles
-            for ch in range(args.antennas):
-                out = f"{args.file_prefix}_ch_{ch}_binary"
-                samples[ch, start:start + dump_frames * frame_samps].tofile(out)
+            for i, ch in enumerate(chan_ids):     # per-channel dumps, named by
+                out = f"{args.file_prefix}_ch_{ch}_binary"   # channel id
+                samples[i, start:start + dump_frames * frame_samps].tofile(out)
         if args.dump_raw:
-            for ch in range(args.antennas):
-                samples[ch].tofile(f"{args.file_prefix}_raw_ch_{ch}_binary")
+            for i, ch in enumerate(chan_ids):
+                samples[i].tofile(f"{args.file_prefix}_raw_ch_{ch}_binary")
         print(f"wrote {wrote} symbols ({frames_sent} frame(s)), "
               f"dropped={ring.dropped}")
     except KeyboardInterrupt:
@@ -170,6 +206,90 @@ def main(argv=None) -> int:
             print("warning: reader did not drain the ring before timeout",
                   file=sys.stderr)
         ring.close()
+    return 0
+
+
+def _run_continuous_sync(args, samples: np.ndarray, sym_len: int,
+                         frame_samps: int, chan_ids=None) -> int:
+    """Rolling receive loop: chunk the capture into receive buffers, push
+    each through the StreamSynchronizer (correlating every buffer, stitching
+    frames across buffer boundaries, re-acquiring after slips), and write
+    aligned frames into the ring from a producer thread -- the reference's
+    recv -> correlate -> stitch -> boost::thread(copy_to_shared_mem)
+    structure (rx_and_corr.cpp:305-405)."""
+    import queue
+    import threading
+
+    from ..golden.io import load_pn_sequence
+    from ..io.ring import RingShutdown, SymbolRing
+    from ..sim.sync import StreamSynchronizer
+
+    n_ch = samples.shape[0]
+    pn = load_pn_sequence(args.pn_file)
+    sync = StreamSynchronizer(pn, frame_samps, args.thres)
+    ring = SymbolRing(args.shm_uid, n_ch, sym_len, args.frame_len,
+                      master=True, timeout=args.timeout, dtype=args.ring_dtype)
+    print(f"ring master up: uid={args.shm_uid} "
+          f"[{n_ch} x {sym_len}] x {args.frame_len} "
+          f"(continuous sync, buffer={args.frame_size})")
+
+    q: "queue.Queue" = queue.Queue(maxsize=8)
+    state = {"written": 0, "err": None}
+
+    def writer():
+        try:
+            while True:
+                fr = q.get()
+                if fr is None:
+                    return
+                for s in range(args.frame_len):
+                    ring.write(
+                        np.ascontiguousarray(fr[:, s * sym_len:(s + 1) * sym_len]),
+                        wait=args.wait_writes, timeout=args.timeout)
+                    state["written"] += 1
+        except RingShutdown:
+            state["err"] = "reader shut the ring down"
+        except BaseException as e:  # surface ring errors to the main thread
+            state["err"] = e
+
+    th = threading.Thread(target=writer, daemon=True)
+    th.start()
+
+    continuous = args.num_frames <= 0
+    buf_len = max(args.frame_size, 1)
+    n_total = samples.shape[1]
+    pos = 0
+    sent = 0
+    try:
+        while (continuous or sent < args.num_frames) and state["err"] is None:
+            if pos >= n_total:
+                if not continuous:
+                    for fr in sync.flush():
+                        if sent < args.num_frames:
+                            q.put(fr)
+                            sent += 1
+                    break
+                pos = 0  # file-player mode cycles the capture
+            chunk = samples[:, pos:pos + buf_len]
+            pos += buf_len
+            for fr in sync.push(chunk):
+                if not continuous and sent >= args.num_frames:
+                    break
+                q.put(fr)
+                sent += 1
+    except KeyboardInterrupt:
+        print(f"SIGINT: stopping after {sent} frame(s)")
+    q.put(None)
+    th.join(timeout=args.timeout)
+    print(f"continuous sync: {sent} frame(s) ({state['written']} symbols), "
+          f"resyncs={sync.resyncs} drift_corrections={sync.drift_corrections} "
+          f"dropped={ring.dropped}")
+    if state["err"] not in (None, "reader shut the ring down"):
+        print(f"writer error: {state['err']}", file=sys.stderr)
+    if not ring.wait_drained(args.timeout):
+        print("warning: reader did not drain the ring before timeout",
+              file=sys.stderr)
+    ring.close()
     return 0
 
 

@@ -22,14 +22,28 @@ import numpy as np
 
 def build_parser() -> argparse.ArgumentParser:
     ap = argparse.ArgumentParser(description=__doc__)
-    # Reference CLI surface (informational without hardware).
-    ap.add_argument("--rate", type=float, default=1e6)
-    ap.add_argument("--freq", type=float, default=0.0)
-    ap.add_argument("--gain", type=float, default=0.0)
-    ap.add_argument("--channels", default="0")
+    # Reference CLI surface (tx_same_seq_no_udp.cpp:94-121).  rate/freq/
+    # gain/bw accept per-channel comma lists; scalars broadcast like the
+    # reference's per-channel loop (tx_same_seq_no_udp.cpp:169-192).
+    ap.add_argument("--rate", default="1e6",
+                    help="sample rate (sps), scalar or per-channel list")
+    ap.add_argument("--freq", default="0.0",
+                    help="RF center frequency (Hz), scalar or per-channel list")
+    ap.add_argument("--gain", default="0.0",
+                    help="RF gain (dB), scalar or per-channel list")
+    ap.add_argument("--bw", default="0.0",
+                    help="frontend bandwidth (Hz), scalar or per-channel list")
+    ap.add_argument("--ant", default=None,
+                    help="antenna selection (informational)")
+    ap.add_argument("--channels", default=None,
+                    help="TX channel list, e.g. '0' or '0,1' (default: one "
+                         "channel; with --snr the channel-sim output already "
+                         "spans --antennas rows)")
     ap.add_argument("--same-time", action="store_true",
-                    help="duplicate the stream across channels (reference "
-                         "--same-time, tx_same_seq_no_udp.cpp:269-298)")
+                    help="duplicate the stream across channels; without it a "
+                         "multi-channel file is PARTITIONED across channels "
+                         "(reference --same-time, "
+                         "tx_same_seq_no_udp.cpp:269-298)")
     # Framework-specific.
     ap.add_argument("--out", required=True, help="output IQ capture file")
     ap.add_argument("--out-format", default="cf32", choices=["cf32", "sc16"],
@@ -50,6 +64,12 @@ def build_parser() -> argparse.ArgumentParser:
     ap.add_argument("--pn-file", default="PNSeq_255_MaxLenSeq.dat")
     ap.add_argument("--pn-preamble", action="store_true",
                     help="prepend the PN sequence before the first frame")
+    ap.add_argument("--pn-every-frame", action="store_true",
+                    help="prepend the PN before EVERY frame -- the stream "
+                         "shape of the reference's continuous TX, which "
+                         "re-sends its PN+payload buffer in a timed loop "
+                         "(tx_same_seq_no_udp.cpp:255-267,415-419); required "
+                         "for rx_app --continuous-sync re-acquisition")
     ap.add_argument("--snr", type=float, default=None,
                     help="run through the synthetic multipath channel at this "
                          "SNR (dB); output becomes [antennas, N]")
@@ -57,6 +77,21 @@ def build_parser() -> argparse.ArgumentParser:
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--modulation", default="qpsk", choices=["qpsk", "16qam"])
     return ap
+
+
+def _channelize(stream, args, n_ch: int) -> "np.ndarray":
+    """Map one TX stream onto channels: --same-time duplicates it per
+    channel; an explicit multi-channel list without --same-time PARTITIONS
+    it evenly (the reference splits its IQ file across channels,
+    tx_same_seq_no_udp.cpp:269-298).  Without --channels the legacy shape
+    is kept (1 row, or --antennas rows under --same-time)."""
+    rows = n_ch if args.channels else (args.antennas if args.same_time else 1)
+    if rows == 1:
+        return stream.reshape(1, -1)
+    if args.same_time or not args.channels:
+        return np.broadcast_to(stream, (rows, stream.size))
+    per = stream.size // rows
+    return stream[: per * rows].reshape(rows, per)
 
 
 def _write_capture(arr: np.ndarray, path: str, fmt: str) -> None:
@@ -74,6 +109,15 @@ def main(argv=None) -> int:
 
     from ..golden.io import load_pilot, load_pn_sequence
     from ..sim.channel import ChannelModel, make_tx_frame, random_symbols
+    from ._cli import log_channel_config, parse_channels, per_channel
+
+    chan_ids = parse_channels(args.channels, 256) if args.channels else [0]
+    n_ch = len(chan_ids)
+    log_channel_config("TX", chan_ids,
+                       per_channel(args.rate, n_ch, "--rate"),
+                       per_channel(args.freq, n_ch, "--freq"),
+                       per_channel(args.gain, n_ch, "--gain"),
+                       per_channel(args.bw, n_ch, "--bw"), args.ant)
 
     rng = np.random.default_rng(args.seed)
     f = args.fft_size
@@ -96,11 +140,41 @@ def main(argv=None) -> int:
                                      args.modulation)
         sent.append(data)
         frames.append(make_tx_frame(data, pilot, args.cp_size))  # [S, F+cp]
+    pn = (load_pn_sequence(args.pn_file).astype(np.complex64)
+          if (args.pn_preamble or args.pn_every_frame) else None)
+
+    if args.pn_every_frame:
+        # [PN][frame][PN][frame]... -- the reference's continuous-TX stream
+        # shape.  With --snr, each frame passes through the (fixed-tap)
+        # multipath channel per frame while the PN chunks pass through a
+        # flat unit channel (sync only), mirroring the single-preamble path.
+        if args.snr is not None:
+            chan = ChannelModel(args.antennas, f, num_taps=args.channel_taps,
+                                snr_db=args.snr, seed=args.seed + 1)
+            pn_part = np.broadcast_to(pn, (args.antennas, pn.size))
+            chunks = []
+            for fr in frames:
+                rx = chan.apply(fr, args.cp_size)        # [S, A, sym]
+                chunks.append(pn_part)
+                chunks.append(np.swapaxes(rx, 0, 1).reshape(args.antennas, -1))
+            _write_capture(np.concatenate(chunks, axis=1), args.out,
+                           args.out_format)
+        else:
+            stream = np.concatenate(
+                [np.concatenate([pn, fr.reshape(-1)]) for fr in frames])
+            _write_capture(_channelize(stream, args, n_ch), args.out,
+                           args.out_format)
+        if args.data_out:
+            np.concatenate(sent).astype(np.complex64).tofile(args.data_out)
+        print(f"TX: wrote {args.out} "
+              f"({args.num_frames} frame(s), pn_every_frame=True, "
+              f"snr={args.snr})")
+        return 0
+
     stream = np.concatenate([fr.reshape(-1) for fr in frames])   # single stream
 
     if args.pn_preamble:
-        pn = load_pn_sequence(args.pn_file)
-        stream = np.concatenate([pn.astype(np.complex64), stream])
+        stream = np.concatenate([pn, stream])
 
     if args.snr is not None:
         # Through the multipath channel: one TX stream -> A antenna streams.
@@ -117,9 +191,8 @@ def main(argv=None) -> int:
             out = np.concatenate([pn_part, out], axis=1)
         _write_capture(out, args.out, args.out_format)
     else:
-        streams = np.broadcast_to(
-            stream, ((args.antennas if args.same_time else 1), stream.size))
-        _write_capture(streams, args.out, args.out_format)
+        _write_capture(_channelize(stream, args, n_ch), args.out,
+                       args.out_format)
 
     if args.data_out:
         np.concatenate(sent).astype(np.complex64).tofile(args.data_out)

@@ -22,9 +22,12 @@ the MXU (the same scheme as XLA's Precision.HIGH, under our control).
 Because the MXU is dispatch-bound at these shapes, the four real products
 of the complex GEMM share ONE [4M, n2] x [n2, 2*n2] dot against the
 lane-concatenated [Wr | Wi] matrix plus one [2M, n2] lo-correction dot --
-2 dots per tile instead of Karatsuba's 9 (measured: 44 us -> ~15 us of
-stage-2 time per 100-symbol frame).  End-to-end error vs the NumPy golden:
-~4e-6 relative (fp32-grade; DEFAULT bf16 would be ~1e-2).
+2 dots per symbol instead of Karatsuba's 9 (measured: 44 us -> ~15 us of
+stage-2 time per 100-symbol frame); the shipped schedule ("g2", r2 probe
+study in docs/PERF.md) further batches the dots of TWO symbols per
+dispatch, cutting dispatches to 52/frame for another 6-12%.  End-to-end
+error vs the NumPy golden: ~4e-6 relative (fp32-grade; the exact=False
+speed mode drops the lo correction: ~1e-2 rel err, ~12 us faster/frame).
 
 Layout (fastpath order, n1 = F/128, n2 = 128): input [S, A, n1, n2] is a
 free host-side reshape; within the kernel only leading dims are merged or
@@ -117,6 +120,24 @@ def _dif_consts(n1: int):
     return tuple(out)
 
 
+def _dif_stage(xr, xi, span, n1, mask, cr, ci):
+    """One DIF radix-2 butterfly stage: circular sublane roll + masked select
+    + per-sublane constant complex multiply (cr=None for the twiddle-free
+    span-1 stage)."""
+    rr = pltpu.roll(xr, span, 1)        # rr[s] = xr[(s - span) mod n1]
+    ri = pltpu.roll(xi, span, 1)
+    if 2 * span == n1:
+        fr, fi = rr, ri                 # roll(span) == roll(n1 - span)
+    else:
+        fr = pltpu.roll(xr, n1 - span, 1)   # fr[s] = xr[(s + span) mod n1]
+        fi = pltpu.roll(xi, n1 - span, 1)
+    ur = jnp.where(mask, xr + fr, rr - xr)
+    ui = jnp.where(mask, xi + fi, ri - xi)
+    if cr is None:
+        return ur, ui
+    return ur * cr - ui * ci, ur * ci + ui * cr
+
+
 def _dif_sublane(xr, xi, r, n1, n2, stage_consts):
     """DIF radix-2 n1-point DFT along the sublane axis of [R, n1, n2] planes.
 
@@ -130,26 +151,12 @@ def _dif_sublane(xr, xi, r, n1, n2, stage_consts):
     """
     sub = jax.lax.broadcasted_iota(jnp.int32, (r, n1, n2), 1)
 
-    def stage(xr, xi, span, mask, cr, ci):
-        rr = pltpu.roll(xr, span, 1)        # rr[s] = xr[(s - span) mod n1]
-        ri = pltpu.roll(xi, span, 1)
-        if 2 * span == n1:
-            fr, fi = rr, ri                 # roll(span) == roll(n1 - span)
-        else:
-            fr = pltpu.roll(xr, n1 - span, 1)   # fr[s] = xr[(s + span) mod n1]
-            fi = pltpu.roll(xi, n1 - span, 1)
-        ur = jnp.where(mask, xr + fr, rr - xr)
-        ui = jnp.where(mask, xi + fi, ri - xi)
-        if cr is None:
-            return ur, ui
-        return ur * cr - ui * ci, ur * ci + ui * cr
-
     m = n1 // 2
     ci = 0
     while m >= 1:
         mask = sub % (2 * m) < m
         cr_ci = stage_consts[ci] if m >= 2 else (None, None)
-        xr, xi = stage(xr, xi, m, mask, *cr_ci)
+        xr, xi = _dif_stage(xr, xi, m, n1, mask, *cr_ci)
         m //= 2
         ci += 1
     return xr, xi
@@ -193,13 +200,21 @@ def _stage2_dots(bre, bim, wcat_hi, wcat_lo, n2: int, exact: bool = True):
 
 def _kernel(yre_ref, yim_ref, hre_ref, him_ref, hsqinv_ref,
             twre_ref, twim_ref, *rest, ts: int, a: int, n1: int, n2: int,
-            exact: bool = True):
+            exact: bool = True, schedule: str = "block"):
     """Per-symbol software interleave in straight-line code: stage 1 (VPU
     butterflies + twiddle) of symbol k+1 is issued BEFORE stage 2 + MRC
     (MXU dots + reduce) of symbol k.  The chains are data-independent, so
     Mosaic's scheduler overlaps vector and matrix work (~8% end-to-end;
     predicated @pl.when pipelining across grid steps measured slower --
-    docs/PERF.md)."""
+    docs/PERF.md).
+
+    ``schedule`` selects the experimental issue order (docs/PERF.md r2):
+      block   -- shipped: whole stage1(k+1) emitted before stage2+MRC(k)
+      fine    -- statement-level interleave: butterfly stages of k+1 emitted
+                 BETWEEN the MXU dots of k
+      s1only  -- probe: VPU chain only (butterflies+twiddle+reduce)
+      s2only  -- probe: MXU chain only (dots+MAC on raw input)
+    """
     n_tw_stages = max(n1.bit_length() - 2, 0)   # all radix-2 stages but span-1
     stage_refs = rest[:2 * n_tw_stages]
     wch_ref, wcl_ref, outre_ref, outim_ref = rest[2 * n_tw_stages:]
@@ -210,19 +225,22 @@ def _kernel(yre_ref, yim_ref, hre_ref, him_ref, hsqinv_ref,
     him = him_ref[:][None]
     inv = hsqinv_ref[:][None]
 
-    def stage1(lo):
-        # n1-point DFT over the sublane dim (whole-tensor rolls) + twiddle;
-        # output [a*n1, n2] rows in bit-reversed k1 order.
-        xr = yre_ref[lo:lo + 1].reshape(a, n1, n2)
-        xi = yim_ref[lo:lo + 1].reshape(a, n1, n2)
-        ar, ai = _dif_sublane(xr, xi, a, n1, n2, consts)
+    def load(lo):
+        return (yre_ref[lo:lo + 1].reshape(a, n1, n2),
+                yim_ref[lo:lo + 1].reshape(a, n1, n2))
+
+    def s1_finish(ar, ai):
         return ((ar * twre - ai * twim).reshape(a * n1, n2),
                 (ar * twim + ai * twre).reshape(a * n1, n2))
 
-    def stage2_mrc(b, lo):
-        bre, bim = b
-        c2re, c2im = _stage2_dots(bre, bim, wch_ref[:], wcl_ref[:], n2,
-                                  exact=exact)
+    def stage1(lo):
+        # n1-point DFT over the sublane dim (whole-tensor rolls) + twiddle;
+        # output [a*n1, n2] rows in bit-reversed k1 order.
+        xr, xi = load(lo)
+        ar, ai = _dif_sublane(xr, xi, a, n1, n2, consts)
+        return s1_finish(ar, ai)
+
+    def mrc_write(c2re, c2im, lo):
         cre = c2re.reshape(1, a, n1, n2)
         cim = c2im.reshape(1, a, n1, n2)
         num_re = jnp.sum(cre * hre + cim * him, axis=1)
@@ -230,12 +248,151 @@ def _kernel(yre_ref, yim_ref, hre_ref, him_ref, hsqinv_ref,
         outre_ref[lo:lo + 1] = num_re * inv
         outim_ref[lo:lo + 1] = num_im * inv
 
-    b_prev = stage1(0)
-    for k in range(1, ts):
-        b_next = stage1(k)           # VPU chain, independent of the dots below
-        stage2_mrc(b_prev, k - 1)    # MXU chain for the previous symbol
+    def stage2_mrc(b, lo):
+        bre, bim = b
+        c2re, c2im = _stage2_dots(bre, bim, wch_ref[:], wcl_ref[:], n2,
+                                  exact=exact)
+        mrc_write(c2re, c2im, lo)
+
+    if schedule == "s1only":
+        for k in range(ts):
+            bre, bim = stage1(k)
+            outre_ref[k:k + 1] = jnp.sum(bre.reshape(1, a, n1, n2), axis=1)
+            outim_ref[k:k + 1] = jnp.sum(bim.reshape(1, a, n1, n2), axis=1)
+        return
+    if schedule == "s2only":
+        for k in range(ts):
+            xr, xi = load(k)
+            stage2_mrc((xr.reshape(a * n1, n2), xi.reshape(a * n1, n2)), k)
+        return
+    if schedule == "fine":
+        # Manual statement-level interleave: emit the butterfly stages of
+        # symbol k+1 between the two MXU dots of symbol k, giving Mosaic's
+        # list scheduler explicit alternation points in program order.
+        d = functools.partial(jnp.dot, preferred_element_type=jnp.float32)
+        m = a * n1
+
+        def dots_begin(b):
+            bre, bim = b
+            rhi, rlo = _split_bf16(bre)
+            ihi, ilo = _split_bf16(bim)
+            if exact:
+                lhs4 = jnp.concatenate([rhi, ihi, rlo, ilo], axis=0)
+            else:
+                lhs4 = jnp.concatenate([rhi, ihi], axis=0)
+            return lhs4
+
+        def dot_hi(lhs4):
+            return d(lhs4, wch_ref[:])
+
+        def dot_lo(lhs4):
+            if not exact:
+                return None
+            return d(lhs4[:2 * m], wcl_ref[:])
+
+        def dots_end(p, q, lo):
+            if exact:
+                xrwr = p[:m, :n2] + p[2 * m:3 * m, :n2] + q[:m, :n2]
+                xrwi = p[:m, n2:] + p[2 * m:3 * m, n2:] + q[:m, n2:]
+                xiwr = p[m:2 * m, :n2] + p[3 * m:, :n2] + q[m:, :n2]
+                xiwi = p[m:2 * m, n2:] + p[3 * m:, n2:] + q[m:, n2:]
+            else:
+                xrwr, xrwi = p[:m, :n2], p[:m, n2:]
+                xiwr, xiwi = p[m:, :n2], p[m:, n2:]
+            mrc_write(xrwr - xiwi, xrwi + xiwr, lo)
+
+        def s1_steps(lo):
+            """Generator yielding after each butterfly stage of symbol lo."""
+            xr, xi = load(lo)
+            sub = jax.lax.broadcasted_iota(jnp.int32, (a, n1, n2), 1)
+            mdiv = n1 // 2
+            ci = 0
+            while mdiv >= 1:
+                mask = sub % (2 * mdiv) < mdiv
+                cr_ci = consts[ci] if mdiv >= 2 else (None, None)
+                xr, xi = _dif_stage(xr, xi, mdiv, n1, mask, *cr_ci)
+                mdiv //= 2
+                ci += 1
+                yield None
+            yield s1_finish(xr, xi)
+
+        gen = s1_steps(0)
+        for _ in range(n_tw_stages + 1):
+            next(gen)
+        b_prev = next(gen)
+        for k in range(1, ts):
+            gen = s1_steps(k)
+            next(gen)                      # butterfly stage 0 of symbol k
+            lhs4 = dots_begin(b_prev)
+            p = dot_hi(lhs4)
+            next(gen)                      # butterfly stage 1 of symbol k
+            q = dot_lo(lhs4)
+            for _ in range(n_tw_stages - 1):
+                next(gen)                  # remaining stages of symbol k
+            dots_end(p, q, k - 1)
+            b_prev = next(gen)
+        lhs4 = dots_begin(b_prev)
+        dots_end(dot_hi(lhs4), dot_lo(lhs4), ts - 1)
+        return
+
+    # Generalized grouped-dot schedule: "block" == "g1" (per-symbol dots,
+    # the r1 shipped form); "gN" batches the stage-2 dots of N symbols into
+    # one [4NM, n2] x [n2, 2n2] MXU dispatch (fewer, bigger dots -- the
+    # kernel is dispatch-bound, not MAC-bound, at these shapes); a trailing
+    # "f" ("gNf") additionally lane-concatenates [Wch | Wcl] into one
+    # [n2, 4n2] RHS so hi products and the lo correction ride ONE dot
+    # (+1/3 MACs on the lo rows, half the dispatches).
+    g, fuse = 1, False
+    if schedule.startswith("g"):
+        fuse = schedule.endswith("f")
+        g = int(schedule[1:-1] if fuse else schedule[1:])
+    m = a * n1
+    d = functools.partial(jnp.dot, preferred_element_type=jnp.float32)
+
+    def stage2_group(bs, lo):
+        gg = len(bs)
+        splits = [(_split_bf16(bre), _split_bf16(bim)) for bre, bim in bs]
+        rhi = [s[0][0] for s in splits]
+        ihi = [s[1][0] for s in splits]
+        if exact:
+            rlo = [s[0][1] for s in splits]
+            ilo = [s[1][1] for s in splits]
+            lhs = jnp.concatenate(rhi + ihi + rlo + ilo, axis=0)
+        else:
+            lhs = jnp.concatenate(rhi + ihi, axis=0)
+        if fuse and exact:
+            rhs = jnp.concatenate([wch_ref[:], wcl_ref[:]], axis=1)
+            p = d(lhs, rhs)
+            qr = lambda r: p[r * m:(r + 1) * m, 2 * n2:3 * n2]
+            qi = lambda r: p[r * m:(r + 1) * m, 3 * n2:]
+        else:
+            p = d(lhs, wch_ref[:])
+            if exact:
+                q = d(lhs[:2 * gg * m], wcl_ref[:])
+                qr = lambda r: q[r * m:(r + 1) * m, :n2]
+                qi = lambda r: q[r * m:(r + 1) * m, n2:2 * n2]
+        pr = lambda r: p[r * m:(r + 1) * m, :n2]
+        pi = lambda r: p[r * m:(r + 1) * m, n2:2 * n2]
+        for j in range(gg):
+            hr, hi_ = j, gg + j
+            if exact:
+                lr, li = 2 * gg + j, 3 * gg + j
+                xrwr = pr(hr) + pr(lr) + qr(hr)
+                xrwi = pi(hr) + pi(lr) + qi(hr)
+                xiwr = pr(hi_) + pr(li) + qr(hi_)
+                xiwi = pi(hi_) + pi(li) + qi(hi_)
+            else:
+                xrwr, xrwi = pr(hr), pi(hr)
+                xiwr, xiwi = pr(hi_), pi(hi_)
+            mrc_write(xrwr - xiwi, xrwi + xiwr, lo + j)
+
+    groups = [list(range(i, min(i + g, ts))) for i in range(0, ts, g)]
+    b_prev = [stage1(k) for k in groups[0]]
+    for gi in range(1, len(groups)):
+        b_next = [stage1(k) for k in groups[gi]]    # VPU chain of next group
+        stage2_group(b_prev, groups[gi - 1][0])     # MXU chain of previous
         b_prev = b_next
-    stage2_mrc(b_prev, ts - 1)
+    stage2_group(b_prev, groups[-1][0])
 
 
 @functools.lru_cache(maxsize=None)
@@ -320,7 +477,8 @@ def _auto_ts(a: int, f: int) -> int:
 
 def fused_pipeline(y: CArray, hre: jnp.ndarray, him: jnp.ndarray,
                    hsqinv: jnp.ndarray, *, ts: int | None = None,
-                   interpret=None, exact: bool = True) -> CArray:
+                   interpret=None, exact: bool = True,
+                   schedule: str = "g2") -> CArray:
     """FFT + channel-conjugate MRC over a data block.
 
     Args:
@@ -354,6 +512,8 @@ def fused_pipeline(y: CArray, hre: jnp.ndarray, him: jnp.ndarray,
                          f"({n1}, {n2}) for F={f}")
     if ts is None:
         ts = _auto_ts(a, f)
+    if schedule == "fine" and n1 < 4:
+        schedule = "block"   # too few butterfly stages to interleave between
 
     # No host-side padding for ragged symbol counts: the final grid block is
     # handled by pallas itself (out-of-range reads are unspecified-but-safe
@@ -379,7 +539,8 @@ def fused_pipeline(y: CArray, hre: jnp.ndarray, him: jnp.ndarray,
     consts = [jnp.asarray(np.asarray(c)) for c in _stage2_consts(n2)]
 
     grid = ((s + ts - 1) // ts,)
-    kernel = functools.partial(_kernel, ts=ts, a=a, n1=n1, n2=n2, exact=exact)
+    kernel = functools.partial(_kernel, ts=ts, a=a, n1=n1, n2=n2, exact=exact,
+                               schedule=schedule)
     block_y = pl.BlockSpec((ts, a, n1, n2), lambda i: (i, 0, 0, 0),
                            memory_space=pltpu.VMEM)
     full = lambda shape: pl.BlockSpec(shape, lambda i: tuple(0 for _ in shape),
@@ -411,7 +572,7 @@ def fused_pipeline(y: CArray, hre: jnp.ndarray, him: jnp.ndarray,
 
 def demod_frame_fused(frame: CArray, x_full_perm: CArray, *, cp: int,
                       ts: int | None = None, interpret=None,
-                      exact: bool = True) -> CArray:
+                      exact: bool = True, schedule: str = "g2") -> CArray:
     """Drop-in for fastpath.demod_frame_fast backed by the fused kernel.
 
     Args:
@@ -451,5 +612,5 @@ def demod_frame_fused(frame: CArray, x_full_perm: CArray, *, cp: int,
     # for typical S (the padded tile count is unchanged) and its demod
     # output is dropped by the cheap [1:] output slice below.
     eq = fused_pipeline(y, hre, him, hsqinv, ts=ts, interpret=interpret,
-                        exact=exact)
+                        exact=exact, schedule=schedule)
     return to_reference_order(eq, f)[1:]

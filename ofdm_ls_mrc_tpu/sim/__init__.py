@@ -10,6 +10,7 @@ from .channel import (
     random_symbols,
 )
 from .pn import correlate_frame_start, frame_start_payload, max_len_sequence
+from .sync import StreamSynchronizer
 
 __all__ = [
     "CONSTELLATIONS",
@@ -22,4 +23,5 @@ __all__ = [
     "map_symbols",
     "max_len_sequence",
     "random_symbols",
+    "StreamSynchronizer",
 ]

@@ -68,6 +68,26 @@ def correlate_frame_start(buf: np.ndarray, pn: np.ndarray, thres: float):
     return i, float(mags[i])
 
 
+def correlate_peak(buf: np.ndarray, pn: np.ndarray):
+    """(argmax_offset, mag) of the sliding PN correlation over buf.
+
+    Unlike correlate_frame_start's first-above-threshold scan (the reference
+    acquisition semantics), this returns the STRONGEST lag -- the robust
+    choice when verifying an expected peak inside a small window, where a
+    payload sidelobe could otherwise out-race the true peak
+    (StreamSynchronizer's synced-state check).
+    """
+    buf = np.asarray(buf)
+    pn = np.asarray(pn)
+    n = buf.size - pn.size + 1
+    if n <= 0:
+        return -1, 0.0
+    corr = np.correlate(buf[: n + pn.size - 1], np.conj(pn), mode="valid")
+    mags = np.abs(corr) / pn.size
+    i = int(np.argmax(mags))
+    return i, float(mags[i])
+
+
 def frame_start_payload(buf1: np.ndarray, buf2: np.ndarray, pn: np.ndarray,
                         thres: float) -> np.ndarray | None:
     """Stitch one frame's payload across a double buffer after PN sync.

@@ -232,3 +232,133 @@ def test_per_symbol_mode_loopback(workdir):
         line = next(ln for ln in dm_out.splitlines() if ln.startswith(row))
         avg = float(line.replace(row, "").split()[0])
         assert avg > 0.0, f"{row} average is zero in:\n{dm_out}"
+
+
+def test_continuous_sync_recovers_from_sample_slip(workdir):
+    """tx_app --pn-every-frame -> capture corrupted with inserted samples ->
+    rx_app --continuous-sync re-syncs mid-stream -> demod EVM holds for all
+    frames (the VERDICT r1 'continuous re-sync loop' deliverable; reference
+    receive loop rx_and_corr.cpp:305-405)."""
+    cap = str(workdir / "capture.dat")
+    sent = str(workdir / "sent.dat")
+    out = str(workdir / "Output_tpu.dat")
+    uid = f"/ofdm_app_{uuid.uuid4().hex[:8]}"
+    n_frames = 4
+    common = ["--antennas", str(A), "--fft-size", str(F),
+              "--cp-size", str(CP), "--frame-len", str(S)]
+
+    r = run(["ofdm_ls_mrc_tpu.apps.tx_app", "--out", cap, "--data-out", sent,
+             "--pn-every-frame", "--snr", "35", "--channel-taps", "4",
+             "--pilots", str(workdir / "nonexistent_pilots.dat"),
+             "--pn-file", str(workdir / "nonexistent_pn.dat")] + common
+            + ["--num-frames", str(n_frames)])
+    assert r.returncode == 0, r.stderr
+
+    # Insert a 11-sample slip between frame 1 and frame 2 (just before
+    # frame 2's PN preamble) on every antenna.
+    samples = np.fromfile(cap, dtype=np.complex64).reshape(A, -1)
+    pn_len = 255
+    frame_samps = S * (F + CP)
+    cut = 2 * (pn_len + frame_samps)
+    junk = (0.02 * (np.random.default_rng(5).standard_normal((A, 11))
+                    + 1j * np.random.default_rng(6).standard_normal((A, 11)))
+            ).astype(np.complex64)
+    np.concatenate([samples[:, :cut], junk, samples[:, cut:]],
+                   axis=1).tofile(cap)
+
+    rx = subprocess.Popen(
+        [sys.executable, "-m", "ofdm_ls_mrc_tpu.apps.rx_app", "--file", cap,
+         "--shm-uid", uid, "--thres", "0.4", "--wait-writes",
+         "--continuous-sync", "--frame-size", "777",
+         "--pn-file", str(workdir / "nonexistent_pn.dat"),
+         "--num-frames", str(n_frames)] + common,
+        cwd=REPO, env=ENV_BASE, stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+        text=True)
+    dm = subprocess.Popen(
+        [sys.executable, "-m", "ofdm_ls_mrc_tpu.apps.demod_app",
+         "--shm-uid", uid, "--output", out, "--num-frames", str(n_frames),
+         "--pilots", str(workdir / "nonexistent_pilots.dat")] + common,
+        cwd=REPO, env=ENV_BASE, stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+        text=True)
+    rx_out, rx_err = rx.communicate(timeout=300)
+    dm_out, dm_err = dm.communicate(timeout=300)
+    assert rx.returncode == 0, rx_err + rx_out
+    assert dm.returncode == 0, dm_err + dm_out
+    assert "drift_corrections=1" in rx_out, rx_out
+
+    got = np.fromfile(out, dtype=np.complex64).reshape(n_frames * (S - 1), F - 1)
+    want = np.fromfile(sent, dtype=np.complex64).reshape(n_frames * (S - 1), F - 1)
+    got_natural = np.fft.fftshift(got, axes=-1)
+    # EVM per frame: ALL frames must survive the slip (it lands between
+    # frames, absorbed as an in-window drift correction).
+    for k in range(n_frames):
+        sl = slice(k * (S - 1), (k + 1) * (S - 1))
+        evm = 10 * np.log10(np.mean(np.abs(got_natural[sl] - want[sl]) ** 2)
+                            / np.mean(np.abs(want[sl]) ** 2))
+        assert evm < -25.0, f"frame {k}: EVM {evm:.1f} dB\n{rx_out}"
+
+
+def test_multi_channel_cli_parity(workdir):
+    """Per-channel rate/freq/gain parsing + channel-subset semantics + per-
+    channel dumps (rx_and_corr.cpp:157-198,411-427)."""
+    cap = str(workdir / "capture.dat")
+    sent = str(workdir / "sent.dat")
+    out = str(workdir / "Output_tpu.dat")
+    uid = f"/ofdm_app_{uuid.uuid4().hex[:8]}"
+    common = ["--antennas", str(A), "--fft-size", str(F),
+              "--cp-size", str(CP), "--frame-len", str(S)]
+
+    r = run(["ofdm_ls_mrc_tpu.apps.tx_app", "--out", cap, "--data-out", sent,
+             "--pn-preamble", "--snr", "35", "--channel-taps", "4",
+             "--channels", "0,1", "--freq", "2.4e9,2.41e9", "--gain", "10",
+             "--pilots", str(workdir / "none.dat"),
+             "--pn-file", str(workdir / "none.dat")] + common
+            + ["--num-frames", "1"])
+    assert r.returncode == 0, r.stderr
+    assert "TX ch 0: rate=1.000 Msps freq=2400.000 MHz gain=10.0 dB" in r.stdout
+    assert "TX ch 1: rate=1.000 Msps freq=2410.000 MHz gain=10.0 dB" in r.stdout
+
+    # RX uses a 2-of-4 channel subset: the ring carries 2 antenna rows and
+    # the demod runs 2-antenna MRC on exactly those rows.
+    rx = subprocess.Popen(
+        [sys.executable, "-m", "ofdm_ls_mrc_tpu.apps.rx_app", "--file", cap,
+         "--shm-uid", uid, "--thres", "0.05", "--wait-writes",
+         "--channels", "1,3", "--gain", "5,7", "--dump-aligned",
+         "--file-prefix", str(workdir / "dump"),
+         "--pn-file", str(workdir / "none.dat"),
+         "--num-frames", "1"] + common,
+        cwd=REPO, env=ENV_BASE, stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+        text=True)
+    dm = subprocess.Popen(
+        [sys.executable, "-m", "ofdm_ls_mrc_tpu.apps.demod_app",
+         "--shm-uid", uid, "--output", out, "--num-frames", "1",
+         "--antennas", "2", "--fft-size", str(F), "--cp-size", str(CP),
+         "--frame-len", str(S),
+         "--pilots", str(workdir / "none.dat")],
+        cwd=REPO, env=ENV_BASE, stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+        text=True)
+    rx_out, rx_err = rx.communicate(timeout=300)
+    dm_out, dm_err = dm.communicate(timeout=300)
+    assert rx.returncode == 0, rx_err + rx_out
+    assert dm.returncode == 0, dm_err + dm_out
+    assert "RX ch 1:" in rx_out and "gain=5.0 dB" in rx_out
+    assert "RX ch 3:" in rx_out and "gain=7.0 dB" in rx_out
+    assert "[2 x" in rx_out  # ring rows = selected channels
+
+    # Per-channel dumps named by ORIGINAL channel id, only for the subset.
+    assert os.path.exists(str(workdir / "dump_ch_1_binary"))
+    assert os.path.exists(str(workdir / "dump_ch_3_binary"))
+    assert not os.path.exists(str(workdir / "dump_ch_0_binary"))
+
+    # 2-antenna MRC demod of the selected rows still recovers the data.
+    got = np.fromfile(out, dtype=np.complex64).reshape(S - 1, F - 1)
+    want = np.fromfile(sent, dtype=np.complex64).reshape(S - 1, F - 1)
+    evm = 10 * np.log10(np.mean(np.abs(np.fft.fftshift(got, axes=-1) - want) ** 2)
+                        / np.mean(np.abs(want) ** 2))
+    assert evm < -20.0, f"EVM {evm:.1f} dB"
+
+    # Bad per-channel value count is rejected loudly.
+    r = run(["ofdm_ls_mrc_tpu.apps.rx_app", "--file", cap, "--channels", "0,1",
+             "--gain", "1,2,3", "--shm-uid", uid + "x"] + common)
+    assert r.returncode != 0
+    assert "--gain: 3 values for 2 channel(s)" in r.stderr

@@ -1,0 +1,130 @@
+"""Continuous PN re-synchronization (sim/sync.StreamSynchronizer).
+
+Covers the reference receive-loop semantics the r1 rx_app lacked
+(rx_and_corr.cpp:305-405): correlate every buffer, stitch frames across
+buffer boundaries, absorb inserted-sample drift in place, and re-acquire
+after sample drops -- with counters distinguishing the cases.
+"""
+
+import numpy as np
+import pytest
+
+from ofdm_ls_mrc_tpu.sim import StreamSynchronizer, max_len_sequence
+
+PN = max_len_sequence(63)
+A = 2
+FRAME = 400  # payload samples per frame
+
+
+def _payloads(rng, n):
+    """n random frame payloads [A, FRAME] at unit-ish power."""
+    return [(0.7 * (rng.standard_normal((A, FRAME))
+                    + 1j * rng.standard_normal((A, FRAME)))
+             ).astype(np.complex64) for _ in range(n)]
+
+
+def _stream(payloads):
+    """[PN][payload][PN][payload]... on every antenna (PN on all channels)."""
+    pn_blk = np.broadcast_to(PN, (A, PN.size))
+    chunks = []
+    for p in payloads:
+        chunks.append(pn_blk)
+        chunks.append(p)
+    return np.concatenate(chunks, axis=1)
+
+
+def _push_chunks(sync, stream, chunk):
+    out = []
+    for i in range(0, stream.shape[1], chunk):
+        out.extend(sync.push(stream[:, i:i + chunk]))
+    out.extend(sync.flush())
+    return out
+
+
+def test_clean_stream_all_frames_across_odd_buffers(rng):
+    """Frames stitch across receive-buffer boundaries of any size (the
+    double-buffer stitch of rx_and_corr.cpp:372-393, generalized)."""
+    pay = _payloads(rng, 5)
+    sync = StreamSynchronizer(PN, FRAME, thres=0.45)
+    got = _push_chunks(sync, _stream(pay), chunk=333)
+    assert len(got) == 5
+    for g, p in zip(got, pay):
+        np.testing.assert_array_equal(g, p)
+    assert sync.resyncs == 0
+    assert sync.drift_corrections == 0
+
+
+def test_mid_stream_start_acquires(rng):
+    """Acquisition from an arbitrary stream position (leading garbage)."""
+    pay = _payloads(rng, 3)
+    noise = (0.01 * (np.random.default_rng(1).standard_normal((A, 517))
+                     + 1j * np.random.default_rng(2).standard_normal((A, 517)))
+             ).astype(np.complex64)
+    stream = np.concatenate([noise, _stream(pay)], axis=1)
+    sync = StreamSynchronizer(PN, FRAME, thres=0.45)
+    got = _push_chunks(sync, stream, chunk=256)
+    assert len(got) == 3
+    np.testing.assert_array_equal(got[0], pay[0])
+
+
+def test_inserted_samples_drift_corrected_no_frame_lost(rng):
+    """Inserted samples between frames (clock drift / duplicated samples)
+    realign within the search window: every frame still demodulates."""
+    pay = _payloads(rng, 4)
+    pn_blk = np.broadcast_to(PN, (A, PN.size))
+    junk = (0.05 * (rng.standard_normal((A, 9))
+                    + 1j * rng.standard_normal((A, 9)))).astype(np.complex64)
+    stream = np.concatenate(
+        [pn_blk, pay[0], pn_blk, pay[1],
+         junk,                                   # 9-sample slip mid-stream
+         pn_blk, pay[2], pn_blk, pay[3]], axis=1)
+    sync = StreamSynchronizer(PN, FRAME, thres=0.45)
+    got = _push_chunks(sync, stream, chunk=301)
+    assert len(got) == 4
+    for g, p in zip(got, pay):
+        np.testing.assert_array_equal(g, p)
+    assert sync.drift_corrections == 1
+    assert sync.resyncs == 0
+
+
+def test_dropped_samples_reacquire(rng):
+    """Samples dropped INSIDE a frame kill at most that frame and its
+    successor; the synchronizer re-acquires and every later frame is
+    sample-exact (the r1 one-shot sync decoded garbage forever)."""
+    pay = _payloads(rng, 6)
+    stream = _stream(pay)
+    # Drop 37 samples inside frame 2's payload.
+    cut = 2 * (PN.size + FRAME) + PN.size + 100
+    stream = np.concatenate([stream[:, :cut], stream[:, cut + 37:]], axis=1)
+    sync = StreamSynchronizer(PN, FRAME, thres=0.45)
+    got = _push_chunks(sync, stream, chunk=450)
+    assert sync.resyncs >= 1
+    # Frames 0 and 1 arrive intact; the tail frames after re-acquisition
+    # must match the original payloads exactly.
+    np.testing.assert_array_equal(got[0], pay[0])
+    np.testing.assert_array_equal(got[1], pay[1])
+    n_tail = len(got) - 3  # corrupted frame may or may not have been emitted
+    assert n_tail >= 2, f"only {len(got)} frames emitted"
+    for g, p in zip(got[-n_tail:], pay[-n_tail:]):
+        np.testing.assert_array_equal(g, p)
+
+
+def test_long_gap_then_recovery(rng):
+    """A muted stretch (all-zero RF gap) forces re-acquisition afterwards."""
+    pay = _payloads(rng, 4)
+    gap = np.zeros((A, 3 * FRAME), np.complex64)
+    stream = np.concatenate(
+        [_stream(pay[:2]), gap, _stream(pay[2:])], axis=1)
+    sync = StreamSynchronizer(PN, FRAME, thres=0.45)
+    got = _push_chunks(sync, stream, chunk=512)
+    assert len(got) == 4
+    np.testing.assert_array_equal(got[2], pay[2])
+    np.testing.assert_array_equal(got[3], pay[3])
+    assert sync.resyncs == 1
+
+
+def test_channel_count_mismatch_rejected(rng):
+    sync = StreamSynchronizer(PN, FRAME, thres=0.45)
+    sync.push(np.zeros((2, 64), np.complex64))
+    with pytest.raises(ValueError, match="channel count"):
+        sync.push(np.zeros((3, 64), np.complex64))

@@ -34,3 +34,9 @@ python tools/ring_bench.py --batch --symbols 10100 --dtype sc16
 
 echo "== TPU headline benchmark =="
 python bench.py
+
+echo "== sharded-path benchmark (hardware 1x1 mesh) =="
+python bench.py --mesh 1x1
+
+echo "== regression gates (EVM vs golden + samples/s floor) =="
+python tools/gate.py
