@@ -362,3 +362,43 @@ def test_multi_channel_cli_parity(workdir):
              "--gain", "1,2,3", "--shm-uid", uid + "x"] + common)
     assert r.returncode != 0
     assert "--gain: 3 values for 2 channel(s)" in r.stderr
+
+
+def test_downlink_app_zf_separation(workdir):
+    """dl_app: multi-user ZF precode + modulate to a capture; --verify
+    asserts inter-user interference is removed (cpuLS.hpp:415-463)."""
+    out = str(workdir / "dl.dat")
+    sent = str(workdir / "dl_sent.dat")
+    r = run(["ofdm_ls_mrc_tpu.apps.dl_app", "--users", "3", "--antennas", "4",
+             "--fft-size", str(F), "--cp-size", str(CP), "--frame-len", "4",
+             "--out", out, "--data-out", sent, "--simulate-channel",
+             "--verify"])
+    assert r.returncode == 0, r.stderr + r.stdout
+    assert "ZF separation EVM" in r.stdout
+    cap = np.fromfile(out, dtype=np.complex64)
+    assert cap.size == 4 * 3 * (F + CP)        # A x (S-1) x sym_len
+    data = np.fromfile(sent, dtype=np.complex64)
+    assert data.size == 3 * 3 * (F - 1)        # U x (S-1) x (F-1)
+    # Modulated rows are max-abs normalized per row (modOneSymbol semantics).
+    rows = np.fromfile(out, dtype=np.complex64).reshape(4, -1)
+    assert np.max(np.abs(rows)) <= 1.0 + 1e-5
+
+
+def test_downlink_app_channel_file_roundtrip(workdir):
+    """--channel FILE path: explicit channel in, same separation result."""
+    ch = str(workdir / "h.dat")
+    out = str(workdir / "dl.dat")
+    rng = np.random.default_rng(3)
+    h = ((rng.standard_normal((F - 1, 2, 4))
+          + 1j * rng.standard_normal((F - 1, 2, 4))) / np.sqrt(2)
+         ).astype(np.complex64)
+    h.tofile(ch)
+    r = run(["ofdm_ls_mrc_tpu.apps.dl_app", "--users", "2", "--antennas", "4",
+             "--fft-size", str(F), "--cp-size", str(CP), "--frame-len", "3",
+             "--out", out, "--channel", ch, "--verify"])
+    assert r.returncode == 0, r.stderr + r.stdout
+
+    r = run(["ofdm_ls_mrc_tpu.apps.dl_app", "--users", "5", "--antennas", "4",
+             "--fft-size", str(F), "--out", out, "--simulate-channel"])
+    assert r.returncode != 0
+    assert "U <= A" in r.stderr
