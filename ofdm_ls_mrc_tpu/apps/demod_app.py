@@ -46,6 +46,12 @@ def build_parser() -> argparse.ArgumentParser:
                     choices=["exact", "bf16"],
                     help="fused-kernel numerics: exact = fp32-grade; bf16 = "
                          "plain-bf16 speed mode (~1e-2 rel err)")
+    ap.add_argument("--batch-frames", type=int, default=1,
+                    help="demodulate N whole frames per device dispatch via "
+                         "the jitted capture scan (UplinkReceiver."
+                         "demod_capture) -- amortizes dispatch latency on "
+                         "remote/tunneled backends; disables the per-slot "
+                         "timing table (decode granularity is the batch)")
     ap.add_argument("--per-symbol", action="store_true",
                     help="per-symbol streaming mode: ring -> "
                          "StreamingDemodulator -> output row per symbol, with "
@@ -88,7 +94,8 @@ def main(argv=None) -> int:
     pilot = load_pilot(args.pilots, cfg.num_subcarriers)
 
     continuous = args.num_frames <= 0
-    timer = None if (args.no_timer or continuous) else PhaseTimer(
+    timer = None if (args.no_timer or continuous
+                     or args.batch_frames > 1) else PhaseTimer(
         num_slots=args.frame_len, num_times=args.num_frames)
 
     ring = SymbolRing(args.shm_uid, args.antennas, ring_cols, args.frame_len,
@@ -121,11 +128,46 @@ def main(argv=None) -> int:
         jax.block_until_ready(rx.demod_frame(z).re)
     else:
         rx.warmup()
+    if args.batch_frames > 1:
+        # Warm the capture scan at the exact batched shape so the first live
+        # batch doesn't stall the ring on a compile.
+        from ..ops.cplx import CArray
+        shape = (args.batch_frames,) + (device_shape or
+                                        (cfg.frame_len, cfg.num_antennas,
+                                         cfg.fft_size))
+        z = CArray(np.zeros(shape, np.float32), np.zeros(shape, np.float32))
+        jax.block_until_ready(rx.demod_capture(z).re)
 
     n = 0
+    wrote_any = False
+    batch = []
+
+    def emit(arr):
+        nonlocal wrote_any
+        append_output(args.output, arr, truncate=not wrote_any)
+        wrote_any = True
+
+    def demod_batch(frames):
+        import jax.numpy as jnp
+
+        from ..ops.cplx import CArray
+        stacked = CArray(jnp.stack([f.re for f in frames]),
+                         jnp.stack([f.im for f in frames]))
+        out = rx.demod_capture(stacked)          # [K, S-1, F-1]
+        o = out.to_numpy()
+        return o.reshape(-1, o.shape[-1])
+
     try:
         for frame in feed.frames(max_frames=None if continuous
                                  else args.num_frames):
+            if args.batch_frames > 1:
+                # Capture mode: one jitted scan dispatch per N frames.
+                batch.append(frame)
+                n += 1
+                if len(batch) == args.batch_frames:
+                    emit(demod_batch(batch))
+                    batch = []
+                continue
             if timer:
                 # Whole-frame pipeline: channel estimation is fused into the
                 # decode.  Frame 0 lands in slot 0 -- EXCLUDED from the
@@ -133,6 +175,9 @@ def main(argv=None) -> int:
                 # so first-dispatch overhead doesn't pollute the steady-state
                 # numbers; later frames cycle slots 1..L-1.  A single-frame
                 # run has no steady state, so its one frame goes to slot 1.
+                # FFT and Drop rows are structurally zero here: the FFT is
+                # fused into the decode program and the CP drop happens
+                # inside the ring's native copy-out (counted in Read).
                 if args.num_frames == 1:
                     slot = 1
                 elif n == 0:
@@ -144,10 +189,14 @@ def main(argv=None) -> int:
                     jax.block_until_ready(out.re)
             else:
                 out = rx.demod_frame(frame)
-            append_output(args.output, out.to_numpy(), truncate=(n == 0))
+            emit(out.to_numpy())
             n += 1
     except KeyboardInterrupt:
         print(f"SIGINT: stopping after {n} frame(s)")
+    # Flush a short trailing batch per-frame (a different K would recompile
+    # the capture scan).
+    for fr in batch:
+        emit(rx.demod_frame(fr).to_numpy())
     print(f"demodulated {n} frame(s) -> {args.output}")
     if feed.drop_events:
         print(f"writer overruns: {feed.drop_events} event(s), "

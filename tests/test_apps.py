@@ -402,3 +402,49 @@ def test_downlink_app_channel_file_roundtrip(workdir):
              "--fft-size", str(F), "--out", out, "--simulate-channel"])
     assert r.returncode != 0
     assert "U <= A" in r.stderr
+
+
+def test_batch_frames_capture_mode(workdir):
+    """--batch-frames N: one capture-scan dispatch per N frames, plus the
+    per-frame flush of a short trailing batch; output matches the
+    frame-by-frame path bit-for-bit."""
+    cap = str(workdir / "capture.dat")
+    sent = str(workdir / "sent.dat")
+    out_b = str(workdir / "Output_batched.dat")
+    out_f = str(workdir / "Output_frames.dat")
+    n_frames = 5  # batch of 2 -> 2 full batches + 1 flushed frame
+    common = ["--antennas", str(A), "--fft-size", str(F),
+              "--cp-size", str(CP), "--frame-len", str(S)]
+    r = run(["ofdm_ls_mrc_tpu.apps.tx_app", "--out", cap, "--data-out", sent,
+             "--pn-preamble", "--snr", "35", "--channel-taps", "4",
+             "--pilots", str(workdir / "none.dat"),
+             "--pn-file", str(workdir / "none.dat")] + common
+            + ["--num-frames", str(n_frames)])
+    assert r.returncode == 0, r.stderr
+
+    for out, extra in ((out_b, ["--batch-frames", "2"]), (out_f, [])):
+        uid = f"/ofdm_app_{uuid.uuid4().hex[:8]}"
+        rx = subprocess.Popen(
+            [sys.executable, "-m", "ofdm_ls_mrc_tpu.apps.rx_app", "--file",
+             cap, "--shm-uid", uid, "--thres", "0.05", "--wait-writes",
+             "--pn-file", str(workdir / "none.dat"),
+             "--num-frames", str(n_frames)] + common,
+            cwd=REPO, env=ENV_BASE, stdout=subprocess.PIPE,
+            stderr=subprocess.PIPE, text=True)
+        dm = subprocess.Popen(
+            [sys.executable, "-m", "ofdm_ls_mrc_tpu.apps.demod_app",
+             "--shm-uid", uid, "--output", out,
+             "--num-frames", str(n_frames), "--no-timer",
+             "--pilots", str(workdir / "none.dat")] + common + extra,
+            cwd=REPO, env=ENV_BASE, stdout=subprocess.PIPE,
+            stderr=subprocess.PIPE, text=True)
+        rx_out, rx_err = rx.communicate(timeout=300)
+        dm_out, dm_err = dm.communicate(timeout=300)
+        assert rx.returncode == 0, rx_err + rx_out
+        assert dm.returncode == 0, dm_err + dm_out
+        assert f"demodulated {n_frames} frame(s)" in dm_out
+
+    got = np.fromfile(out_b, dtype=np.complex64)
+    ref = np.fromfile(out_f, dtype=np.complex64)
+    assert got.size == n_frames * (S - 1) * (F - 1)
+    np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-6)
