@@ -25,9 +25,11 @@ lane-concatenated [Wr | Wi] matrix plus one [2M, n2] lo-correction dot --
 2 dots per symbol instead of Karatsuba's 9 (measured: 44 us -> ~15 us of
 stage-2 time per 100-symbol frame); the shipped schedule ("g2", r2 probe
 study in docs/PERF.md) further batches the dots of TWO symbols per
-dispatch, cutting dispatches to 52/frame for another 6-12%.  End-to-end
-error vs the NumPy golden: ~4e-6 relative (fp32-grade; the exact=False
-speed mode drops the lo correction: ~1e-2 rel err, ~12 us faster/frame).
+dispatch, cutting dispatches to 52/frame -- equal to per-symbol dots at
+exact precision (MAC-floor bound) and ~8-11% faster in the bf16 speed
+mode.  End-to-end error vs the NumPy golden: ~4e-6 relative (fp32-grade;
+the exact=False speed mode drops the lo correction: ~1e-2 rel err,
+~33 Gs/s).
 
 Layout (fastpath order, n1 = F/128, n2 = 128): input [S, A, n1, n2] is a
 free host-side reshape; within the kernel only leading dims are merged or

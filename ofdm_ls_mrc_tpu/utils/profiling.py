@@ -38,6 +38,41 @@ def annotate(name: str):
     return jax.profiler.TraceAnnotation(name)
 
 
+def summarize_trace(logdir: str, device_only: bool = True):
+    """Aggregate per-op durations from a ``trace(logdir)`` capture.
+
+    Parses the perfetto JSON the profiler writes (no TensorBoard needed) and
+    returns {op_name: (total_seconds, count)}, sorted descending by time.
+    With ``device_only`` (default) only TPU-track events are counted --
+    nested spans (a pallas custom call inside the jit program) each appear
+    under their own name, so the jit total and the kernel line can be read
+    off directly.
+    """
+    import collections
+    import glob as _glob
+    import gzip
+    import json
+
+    paths = _glob.glob(f"{logdir}/plugins/profile/*/*.trace.json.gz")
+    if not paths:
+        raise FileNotFoundError(f"no trace capture under {logdir!r}")
+    d = json.load(gzip.open(sorted(paths)[-1]))
+    evs = d.get("traceEvents", [])
+    pids = {e.get("pid"): str(e["args"].get("name")) for e in evs
+            if e.get("ph") == "M" and e.get("name") == "process_name"}
+    dur = collections.defaultdict(float)
+    cnt = collections.Counter()
+    for e in evs:
+        if e.get("ph") != "X" or "dur" not in e:
+            continue
+        if device_only and "TPU" not in pids.get(e.get("pid"), ""):
+            continue
+        dur[e["name"]] += e["dur"] * 1e-6
+        cnt[e["name"]] += 1
+    return dict(sorted(((k, (v, cnt[k])) for k, v in dur.items()),
+                       key=lambda kv: -kv[1][0]))
+
+
 def device_time(per_item: Callable, items, reps_hi: int = 101,
                 best_of: int = 4) -> float:
     """Seconds per item of ``per_item`` (a traceable fn CArray/pytree->pytree)
