@@ -10,7 +10,18 @@ so it matches the reference arithmetic exactly.
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
+
+
+def _native():
+    """The C++ correlator (native/pn_sync) when built; the NumPy forms below
+    are the oracle and fallback.  OFDM_NO_NATIVE_SYNC=1 forces NumPy."""
+    if os.environ.get("OFDM_NO_NATIVE_SYNC"):
+        return None
+    from ..io import native_sync
+    return native_sync if native_sync.available() else None
 
 
 def max_len_sequence(length: int = 255) -> np.ndarray:
@@ -57,6 +68,9 @@ def correlate_frame_start(buf: np.ndarray, pn: np.ndarray, thres: float):
     n = buf.size - pn.size + 1
     if n <= 0:
         return -1, 0.0
+    nat = _native()
+    if nat is not None:
+        return nat.corr_first(buf, pn, thres)
     # corr[i] = sum_j pn[j] * buf[i+j]  == correlate(buf, conj(pn)) sans conj.
     corr = np.correlate(buf[: n + pn.size - 1], np.conj(pn), mode="valid")
     # np.correlate conjugates its second arg; feed conj(pn) to undo it.
@@ -82,6 +96,9 @@ def correlate_peak(buf: np.ndarray, pn: np.ndarray):
     n = buf.size - pn.size + 1
     if n <= 0:
         return -1, 0.0
+    nat = _native()
+    if nat is not None:
+        return nat.corr_peak(buf, pn)
     corr = np.correlate(buf[: n + pn.size - 1], np.conj(pn), mode="valid")
     mags = np.abs(corr) / pn.size
     i = int(np.argmax(mags))

@@ -128,3 +128,54 @@ def test_channel_count_mismatch_rejected(rng):
     sync.push(np.zeros((2, 64), np.complex64))
     with pytest.raises(ValueError, match="channel count"):
         sync.push(np.zeros((3, 64), np.complex64))
+
+
+class TestNativeCorrelator:
+    """native/pn_sync vs the NumPy oracle (reference arithmetic,
+    rx_and_corr.cpp:332-360)."""
+
+    def _skip_if_absent(self):
+        from ofdm_ls_mrc_tpu.io import native_sync
+        if not native_sync.available():
+            pytest.skip("native toolchain unavailable")
+        return native_sync
+
+    def test_matches_numpy_first_hit_and_peak(self, rng, monkeypatch):
+        ns = self._skip_if_absent()
+        from ofdm_ls_mrc_tpu.sim import pn as pnmod
+        buf = (0.05 * (rng.standard_normal(4096)
+                       + 1j * rng.standard_normal(4096))).astype(np.complex64)
+        pos = 1234
+        buf[pos:pos + PN.size] += PN
+        # NumPy oracle (native disabled via env)
+        monkeypatch.setenv("OFDM_NO_NATIVE_SYNC", "1")
+        i_np, m_np = pnmod.correlate_frame_start(buf, PN, 0.45)
+        p_np, pm_np = pnmod.correlate_peak(buf, PN)
+        monkeypatch.delenv("OFDM_NO_NATIVE_SYNC")
+        i_nat, m_nat = ns.corr_first(buf, PN, 0.45)
+        p_nat, pm_nat = ns.corr_peak(buf, PN)
+        assert i_nat == i_np == pos
+        assert p_nat == p_np == pos
+        assert abs(m_nat - m_np) < 1e-3
+        assert abs(pm_nat - pm_np) < 1e-3
+
+    def test_no_peak_reports_max(self, rng):
+        ns = self._skip_if_absent()
+        buf = (0.01 * (rng.standard_normal(2048)
+                       + 1j * rng.standard_normal(2048))).astype(np.complex64)
+        idx, peak = ns.corr_first(buf, PN, 0.9)
+        assert idx == -1 and 0.0 < peak < 0.9
+
+    def test_mags_profile_matches_numpy(self, rng):
+        ns = self._skip_if_absent()
+        buf = (0.3 * (rng.standard_normal(800)
+                      + 1j * rng.standard_normal(800))).astype(np.complex64)
+        mags = ns.corr_mags(buf, PN)
+        corr = np.correlate(buf, np.conj(PN), mode="valid")
+        np.testing.assert_allclose(mags, np.abs(corr) / PN.size,
+                                   rtol=1e-4, atol=1e-5)
+
+    def test_short_buffer(self):
+        ns = self._skip_if_absent()
+        idx, peak = ns.corr_peak(np.zeros(8, np.complex64), PN)
+        assert idx == -1 and peak == 0.0
