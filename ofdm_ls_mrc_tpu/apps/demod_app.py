@@ -71,6 +71,11 @@ def build_parser() -> argparse.ArgumentParser:
                     help="ring spin-wait timeout seconds")
     ap.add_argument("--store-times", default=None,
                     help="write binary 5-word timing dump (time_*.dat layout)")
+    ap.add_argument("--dump-symbols", default=None, metavar="FILE",
+                    help="debug tap: append every symbol read from the ring "
+                         "as raw complex64 (the reference's testEnabled "
+                         "Sym_copy_sh_mem.dat dump inside the read path, "
+                         "ShMemSymBuff.hpp:355-362)")
     ap.add_argument("--no-timer", action="store_true")
     return ap
 
@@ -157,9 +162,17 @@ def main(argv=None) -> int:
         o = out.to_numpy()
         return o.reshape(-1, o.shape[-1])
 
+    dump_f = open(args.dump_symbols, "wb") if args.dump_symbols else None
+
+    def dump_frame(fr):
+        arr = (np.asarray(fr.re) + 1j * np.asarray(fr.im)).astype(np.complex64)
+        arr.reshape(cfg.frame_len, cfg.num_antennas, -1).tofile(dump_f)
+
     try:
         for frame in feed.frames(max_frames=None if continuous
                                  else args.num_frames):
+            if dump_f is not None:
+                dump_frame(frame)
             if args.batch_frames > 1:
                 # Capture mode: one jitted scan dispatch per N frames.
                 batch.append(frame)
@@ -197,6 +210,8 @@ def main(argv=None) -> int:
     # the capture scan).
     for fr in batch:
         emit(rx.demod_frame(fr).to_numpy())
+    if dump_f is not None:
+        dump_f.close()
     print(f"demodulated {n} frame(s) -> {args.output}")
     if feed.drop_events:
         print(f"writer overruns: {feed.drop_events} event(s), "
@@ -234,6 +249,7 @@ def _run_per_symbol(args, cfg, pilot, ring, timer, continuous) -> int:
     n_sym = 0
     frames_done = 0
     first_write = True
+    dump_f = open(args.dump_symbols, "wb") if args.dump_symbols else None
     try:
         f = 0
         while continuous or f < args.num_frames:
@@ -249,6 +265,8 @@ def _run_per_symbol(args, cfg, pilot, ring, timer, continuous) -> int:
                         re, im = read(cp=cp)
                 else:
                     re, im = read(cp=cp)
+                if dump_f is not None:
+                    (re + 1j * im).astype(np.complex64).tofile(dump_f)
                 sym = CArray(re, im)
                 if slot == 0:
                     sd.push_pilot(sym, slot=slot)
@@ -265,6 +283,8 @@ def _run_per_symbol(args, cfg, pilot, ring, timer, continuous) -> int:
     except (RingShutdown, RingTimeout) as e:
         print(f"ring ended ({type(e).__name__}) after {frames_done} frame(s), "
               f"{n_sym} symbols")
+    if dump_f is not None:
+        dump_f.close()
     print(f"demodulated {frames_done} frame(s) per-symbol -> {args.output}")
     if timer:
         timer.print_times()

@@ -448,3 +448,48 @@ def test_batch_frames_capture_mode(workdir):
     ref = np.fromfile(out_f, dtype=np.complex64)
     assert got.size == n_frames * (S - 1) * (F - 1)
     np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-6)
+
+
+def test_dump_symbols_debug_tap(workdir):
+    """--dump-symbols appends every ring-read symbol as raw complex64 (the
+    reference's Sym_copy_sh_mem.dat tap, ShMemSymBuff.hpp:355-362): the dump
+    must equal the CP-stripped TX stream."""
+    cap = str(workdir / "capture.dat")
+    out = str(workdir / "Output_tpu.dat")
+    dump = str(workdir / "sym_tap.dat")
+    uid = f"/ofdm_app_{uuid.uuid4().hex[:8]}"
+    common = ["--antennas", str(A), "--fft-size", str(F),
+              "--cp-size", str(CP), "--frame-len", str(S)]
+    r = run(["ofdm_ls_mrc_tpu.apps.tx_app", "--out", cap,
+             "--pn-preamble", "--snr", "35", "--channel-taps", "4",
+             "--pilots", str(workdir / "none.dat"),
+             "--pn-file", str(workdir / "none.dat")] + common
+            + ["--num-frames", "1"])
+    assert r.returncode == 0, r.stderr
+
+    rx = subprocess.Popen(
+        [sys.executable, "-m", "ofdm_ls_mrc_tpu.apps.rx_app", "--file", cap,
+         "--shm-uid", uid, "--thres", "0.05", "--wait-writes",
+         "--pn-file", str(workdir / "none.dat"), "--dump-aligned",
+         "--file-prefix", str(workdir / "aligned"),
+         "--num-frames", "1"] + common,
+        cwd=REPO, env=ENV_BASE, stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+        text=True)
+    dm = subprocess.Popen(
+        [sys.executable, "-m", "ofdm_ls_mrc_tpu.apps.demod_app",
+         "--shm-uid", uid, "--output", out, "--num-frames", "1",
+         "--dump-symbols", dump,
+         "--pilots", str(workdir / "none.dat")] + common,
+        cwd=REPO, env=ENV_BASE, stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+        text=True)
+    rx_out, rx_err = rx.communicate(timeout=300)
+    dm_out, dm_err = dm.communicate(timeout=300)
+    assert rx.returncode == 0, rx_err + rx_out
+    assert dm.returncode == 0, dm_err + dm_out
+
+    tap = np.fromfile(dump, dtype=np.complex64).reshape(S, A, F)
+    # The RX's aligned per-channel dump is the over-the-ring truth: strip
+    # the CP and compare (ring drops CP on copy-out).
+    ch0 = np.fromfile(str(workdir / "aligned_ch_0_binary"),
+                      dtype=np.complex64).reshape(S, F + CP)
+    np.testing.assert_allclose(tap[:, 0, :], ch0[:, CP:], rtol=1e-5, atol=1e-6)

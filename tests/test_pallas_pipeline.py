@@ -160,3 +160,25 @@ def test_receiver_plumbs_speed_mode(rng):
     scale = np.max(np.abs(want))
     assert np.max(np.abs(got - want)) / scale < 5e-2
     assert np.max(np.abs(got - want)) / scale > 1e-5
+
+
+def test_random_geometry_sweep(rng):
+    """Seeded random sweep across (a, s, cp, f) -- guards the tile-selection
+    and ragged-grid edges (_auto_ts boundaries, non-multiple symbol counts)
+    at geometries no hand-written case covers."""
+    cases = []
+    for f in (256, 512, 1024, 2048):
+        a = int(rng.integers(1, 24))
+        s = int(rng.integers(2, 20))
+        cp = int(rng.choice([0, 16, 72]))
+        cases.append((a, s, cp, f))
+    for a, s, cp, f in cases:
+        frame = crandn(rng, (s, a, f + cp))
+        pilot = np.exp(2j * np.pi * rng.random(f - 1)).astype(np.complex64)
+        x_perm = fastpath.prepare_pilot_fast(pilot, f)
+        got = demod_frame_fused(CArray.from_numpy(frame), x_perm, cp=cp,
+                                interpret=True).to_numpy()
+        want = dsp.demod_frame(frame, pilot, cp)
+        np.testing.assert_allclose(
+            got, want, rtol=6e-4, atol=6e-4,
+            err_msg=f"geometry a={a} s={s} cp={cp} f={f}")

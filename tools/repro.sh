@@ -28,6 +28,9 @@ g.dryrun_multichip(len(jax.devices()))
 print("entry + dryrun OK")
 EOF
 
+echo "== antenna-scaling harness (virtual 8-device CPU mesh) =="
+python tools/scaling_bench.py --virtual 8 --reps 1 --r-hi 3 --batch 1
+
 echo "== ring ingest benchmark =="
 python tools/ring_bench.py --batch --symbols 10100
 python tools/ring_bench.py --batch --symbols 10100 --dtype sc16
