@@ -71,6 +71,13 @@ def build_parser() -> argparse.ArgumentParser:
                     help="ring spin-wait timeout seconds")
     ap.add_argument("--store-times", default=None,
                     help="write binary 5-word timing dump (time_*.dat layout)")
+    ap.add_argument("--save-state", default=None, metavar="FILE",
+                    help="per-symbol mode: checkpoint the channel estimate "
+                         "after every frame (io/state layout, portable "
+                         "across pipelines)")
+    ap.add_argument("--resume", default=None, metavar="FILE",
+                    help="per-symbol mode: restore a checkpointed channel "
+                         "estimate before the first frame (restart-resume)")
     ap.add_argument("--dump-symbols", default=None, metavar="FILE",
                     help="debug tap: append every symbol read from the ring "
                          "as raw complex64 (the reference's testEnabled "
@@ -244,6 +251,10 @@ def _run_per_symbol(args, cfg, pilot, ring, timer, continuous) -> int:
     sd = StreamingDemodulator(cfg, pilot, fft_impl=args.fft_impl,
                               timer=timer, pipeline=pipeline)
     sd.warmup()
+    import os
+    if args.resume and os.path.exists(args.resume):
+        idx = sd.resume(args.resume)
+        print(f"resumed channel estimate from {args.resume} (frame {idx})")
 
     cp = args.cp_size
     n_sym = 0
@@ -277,6 +288,8 @@ def _run_per_symbol(args, cfg, pilot, ring, timer, continuous) -> int:
                     first_write = False
                 n_sym += 1
             frames_done += 1
+            if args.save_state:
+                sd.save_state(args.save_state, frame_index=frames_done)
             f += 1
     except KeyboardInterrupt:
         print(f"SIGINT: stopping after {frames_done} frame(s), {n_sym} symbols")

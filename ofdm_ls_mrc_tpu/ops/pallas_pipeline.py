@@ -256,6 +256,14 @@ def _kernel(yre_ref, yim_ref, hre_ref, him_ref, hsqinv_ref,
                                   exact=exact)
         mrc_write(c2re, c2im, lo)
 
+    if schedule == "io":
+        # Probe: input DMA + loads + a minimal reduce + output writes -- the
+        # kernel's IO floor with no butterflies and no dots.
+        for k in range(ts):
+            xr, xi = load(k)
+            outre_ref[k:k + 1] = jnp.sum(xr[None], axis=1)
+            outim_ref[k:k + 1] = jnp.sum(xi[None], axis=1)
+        return
     if schedule == "s1only":
         for k in range(ts):
             bre, bim = stage1(k)

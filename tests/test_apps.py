@@ -493,3 +493,46 @@ def test_dump_symbols_debug_tap(workdir):
     ch0 = np.fromfile(str(workdir / "aligned_ch_0_binary"),
                       dtype=np.complex64).reshape(S, F + CP)
     np.testing.assert_allclose(tap[:, 0, :], ch0[:, CP:], rtol=1e-5, atol=1e-6)
+
+
+def test_per_symbol_save_and_resume_state(workdir):
+    """--save-state checkpoints the channel estimate per frame; --resume
+    restores it on restart (app plumbing over io/state)."""
+    cap = str(workdir / "capture.dat")
+    out = str(workdir / "Output_tpu.dat")
+    ckpt = str(workdir / "est.ckpt")
+    common = ["--antennas", str(A), "--fft-size", str(F),
+              "--cp-size", str(CP), "--frame-len", str(S)]
+    r = run(["ofdm_ls_mrc_tpu.apps.tx_app", "--out", cap,
+             "--pn-preamble", "--snr", "35", "--channel-taps", "4",
+             "--pilots", str(workdir / "none.dat"),
+             "--pn-file", str(workdir / "none.dat")] + common
+            + ["--num-frames", "1"])
+    assert r.returncode == 0, r.stderr
+
+    for phase in ("save", "resume"):
+        uid = f"/ofdm_app_{uuid.uuid4().hex[:8]}"
+        rx = subprocess.Popen(
+            [sys.executable, "-m", "ofdm_ls_mrc_tpu.apps.rx_app", "--file",
+             cap, "--shm-uid", uid, "--thres", "0.05", "--wait-writes",
+             "--pn-file", str(workdir / "none.dat"),
+             "--num-frames", "1"] + common,
+            cwd=REPO, env=ENV_BASE, stdout=subprocess.PIPE,
+            stderr=subprocess.PIPE, text=True)
+        extra = (["--save-state", ckpt] if phase == "save"
+                 else ["--resume", ckpt])
+        dm = subprocess.Popen(
+            [sys.executable, "-m", "ofdm_ls_mrc_tpu.apps.demod_app",
+             "--shm-uid", uid, "--output", out, "--num-frames", "1",
+             "--per-symbol", "--no-timer",
+             "--pilots", str(workdir / "none.dat")] + common + extra,
+            cwd=REPO, env=ENV_BASE, stdout=subprocess.PIPE,
+            stderr=subprocess.PIPE, text=True)
+        rx_out, rx_err = rx.communicate(timeout=300)
+        dm_out, dm_err = dm.communicate(timeout=300)
+        assert rx.returncode == 0, rx_err + rx_out
+        assert dm.returncode == 0, dm_err + dm_out
+        if phase == "save":
+            assert os.path.exists(ckpt)
+        else:
+            assert "resumed channel estimate" in dm_out
