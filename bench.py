@@ -55,7 +55,8 @@ def _make_repeated(demod_xp, reps: int):
 
 
 def bench_tpu(cfg, pilot, frames: np.ndarray, reps: int,
-              pipeline: str = "fused", exact: bool = True) -> float:
+              pipeline: str = "fused", exact: bool = True,
+              input_dtype: str = "f32") -> float:
     """Seconds per frame for the jitted whole-frame pipeline on-device."""
     import functools
 
@@ -79,6 +80,15 @@ def bench_tpu(cfg, pilot, frames: np.ndarray, reps: int,
     else:
         demod_xp = functools.partial(demod_frame_fast, cp=cfg.cyclic_prefix)
     cf = CArray.from_numpy(frames)
+    if input_dtype == "sc16":
+        # sc16-native input: planar int16 planes (half the H2D and input HBM
+        # bytes; the kernel widens in VMEM, full-scale factor on the twiddle
+        # constants).  Fused pipeline only.
+        if not (pipeline == "fused" and supports_fused(cfg.fft_size)):
+            raise SystemExit("--input sc16 requires the fused pipeline")
+        to16 = lambda v: np.clip(np.round(np.asarray(v) * 32767.0),
+                                 -32767, 32767).astype(np.int16)
+        cf = CArray(to16(cf.re), to16(cf.im))
     cf = CArray(jax.device_put(cf.re), jax.device_put(cf.im))
     demod_xp_kw = lambda x, xp: demod_xp(x, x_full_perm=xp)
 
@@ -208,6 +218,10 @@ def main():
                          "hi/lo-split dots (default); bf16 = plain-bf16 speed "
                          "mode (~1e-2 rel err, the demodCuBlas-style "
                          "accuracy/speed trade, gpuLS.cu:771-858)")
+    ap.add_argument("--input", default="f32", choices=["f32", "sc16"],
+                    help="device input dtype: f32 (reference-faithful) or "
+                         "sc16 (planar int16, the radio wire format -- half "
+                         "the input DMA, in-VMEM widen; fused pipeline only)")
     ap.add_argument("--mesh", default=None, metavar="ANTxTIME",
                     help="bench the SHARDED receiver over an (ant, time) "
                          "device mesh, e.g. 1x1 (hardware single chip) or "
@@ -271,7 +285,8 @@ def main():
 
     t_tpu = bench_tpu(dev_cfg, pilot, dev_frames, args.reps,
                       pipeline=args.pipeline,
-                      exact=(args.kernel_precision == "exact"))
+                      exact=(args.kernel_precision == "exact"),
+                      input_dtype=args.input)
     t_gold = bench_golden(cfg, pilot, frames[0], args.golden_reps)
 
     sps = samples_per_frame / t_tpu

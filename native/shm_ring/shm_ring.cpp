@@ -445,6 +445,43 @@ int ring_read_frame(void* ring, float* re, float* im, int n, int cp,
   return RING_OK;
 }
 
+// sc16-native batch read: n consecutive symbols deinterleaved into planar
+// int16 planes WITHOUT the float conversion -- the zero-copy-fidelity feed
+// for device kernels that widen sc16 in VMEM (half the host and H2D bytes
+// of the float path).  Only valid on FMT_SC16 rings.
+int ring_read_frame_i16(void* ring, int16_t* re, int16_t* im, int n, int cp,
+                        double timeout_s) {
+  Ring* r = static_cast<Ring*>(ring);
+  if (!r || !re || !im || n <= 0) return RING_BADARG;
+  RingHeader* h = r->hdr;
+  if (h->fmt != FMT_SC16) return RING_BADARG;
+  if (cp < 0 || cp >= h->cols) return RING_BADARG;
+  const int rows = h->rows, cols = h->cols;
+  const int keep = cols - cp;
+  const size_t plane = static_cast<size_t>(rows) * keep;
+
+  for (int k = 0; k < n; ++k) {
+    int64_t tail = h->tail.load(std::memory_order_relaxed);
+    int rc = spin_until(r, [&] {
+      return h->head.load(std::memory_order_acquire) > tail;
+    }, timeout_s);
+    if (rc != RING_OK) return rc;
+    const char* base = slot_ptr(r, tail);
+    for (int i = 0; i < rows; ++i) {
+      const int16_t* row = reinterpret_cast<const int16_t*>(base) +
+                           (static_cast<size_t>(i) * cols + cp) * 2;
+      int16_t* rre = re + plane * k + static_cast<size_t>(i) * keep;
+      int16_t* rim = im + plane * k + static_cast<size_t>(i) * keep;
+      for (int j = 0; j < keep; ++j) {
+        rre[j] = row[2 * j];
+        rim[j] = row[2 * j + 1];
+      }
+    }
+    h->tail.store(tail + 1, std::memory_order_release);
+  }
+  return RING_OK;
+}
+
 // Discard up to n unread symbols without copying (O(1) cursor advance);
 // returns how many were skipped.  The cheap backlog drop for real-time
 // catch-up consumers (frame-aligned skipping lives in io/feed.py).

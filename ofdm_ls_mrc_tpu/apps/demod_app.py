@@ -67,6 +67,12 @@ def build_parser() -> argparse.ArgumentParser:
     ap.add_argument("--ring-dtype", default="complex64",
                     choices=["complex64", "sc16"],
                     help="shm element format (must match the RX master)")
+    ap.add_argument("--sc16-native", action="store_true",
+                    help="feed the device planar INT16 straight from an sc16 "
+                         "ring (half the host and H2D bytes; the fused "
+                         "kernel widens sc16 in VMEM at half the input HBM "
+                         "traffic).  Requires --ring-dtype sc16 and the "
+                         "fused pipeline; disables the per-slot timer")
     ap.add_argument("--timeout", type=float, default=30.0,
                     help="ring spin-wait timeout seconds")
     ap.add_argument("--store-times", default=None,
@@ -105,8 +111,20 @@ def main(argv=None) -> int:
 
     pilot = load_pilot(args.pilots, cfg.num_subcarriers)
 
+    if args.sc16_native:
+        if args.ring_dtype != "sc16":
+            print("--sc16-native requires --ring-dtype sc16", file=sys.stderr)
+            return 2
+        if args.per_symbol:
+            print("--sc16-native is a whole-frame/bulk-read mode "
+                  "(not --per-symbol)", file=sys.stderr)
+            return 2
+        if args.pipeline != "fused":
+            print("--sc16-native requires the fused pipeline", file=sys.stderr)
+            return 2
+
     continuous = args.num_frames <= 0
-    timer = None if (args.no_timer or continuous
+    timer = None if (args.no_timer or continuous or args.sc16_native
                      or args.batch_frames > 1) else PhaseTimer(
         num_slots=args.frame_len, num_times=args.num_frames)
 
@@ -127,16 +145,20 @@ def main(argv=None) -> int:
         device_shape = fused_frame_shape(cfg.frame_len, cfg.num_antennas,
                                          cfg.fft_size)
     feed = _make_feed(ring, cfg, args.cp_size, timer, catch_up=args.catch_up,
-                      device_shape=device_shape)
+                      device_shape=device_shape, int16=args.sc16_native)
 
     import jax
 
     # Warm the EXACT input shape the feed will deliver: warming 3D and then
     # feeding 4D would recompile on the first live frame, stalling the ring.
-    if device_shape is not None:
+    # Warm at the EXACT dtype the feed will deliver: int16 planes in
+    # sc16-native mode specialize a separate jit entry.
+    feed_dtype = np.int16 if args.sc16_native else np.float32
+    if device_shape is not None or args.sc16_native:
         from ..ops.cplx import CArray
-        z = CArray(np.zeros(device_shape, np.float32),
-                   np.zeros(device_shape, np.float32))
+        shape = device_shape or (cfg.frame_len, cfg.num_antennas,
+                                 cfg.fft_size)
+        z = CArray(np.zeros(shape, feed_dtype), np.zeros(shape, feed_dtype))
         jax.block_until_ready(rx.demod_frame(z).re)
     else:
         rx.warmup()
@@ -147,7 +169,7 @@ def main(argv=None) -> int:
         shape = (args.batch_frames,) + (device_shape or
                                         (cfg.frame_len, cfg.num_antennas,
                                          cfg.fft_size))
-        z = CArray(np.zeros(shape, np.float32), np.zeros(shape, np.float32))
+        z = CArray(np.zeros(shape, feed_dtype), np.zeros(shape, feed_dtype))
         jax.block_until_ready(rx.demod_capture(z).re)
 
     n = 0
@@ -172,7 +194,11 @@ def main(argv=None) -> int:
     dump_f = open(args.dump_symbols, "wb") if args.dump_symbols else None
 
     def dump_frame(fr):
-        arr = (np.asarray(fr.re) + 1j * np.asarray(fr.im)).astype(np.complex64)
+        re, im = np.asarray(fr.re), np.asarray(fr.im)
+        if re.dtype != np.float32:        # sc16-native planes -> full scale
+            re = re.astype(np.float32) / 32767.0
+            im = im.astype(np.float32) / 32767.0
+        arr = (re + 1j * im).astype(np.complex64)
         arr.reshape(cfg.frame_len, cfg.num_antennas, -1).tofile(dump_f)
 
     try:
@@ -307,7 +333,8 @@ def _run_per_symbol(args, cfg, pilot, ring, timer, continuous) -> int:
     return 0
 
 
-def _make_feed(ring, cfg, cp_size, timer, catch_up=False, device_shape=None):
+def _make_feed(ring, cfg, cp_size, timer, catch_up=False, device_shape=None,
+               int16=False):
     """RingFeed wired for a CP-carrying ring feeding a CP-free pipeline."""
     from ..io.feed import RingFeed
 
@@ -327,6 +354,11 @@ def _make_feed(ring, cfg, cp_size, timer, catch_up=False, device_shape=None):
             return self._ring.read_frame_planar(n, cp=self._cp,
                                                 out_re=out_re, out_im=out_im)
 
+        def read_frame_planar_i16(self, n, cp=0, out_re=None, out_im=None):
+            return self._ring.read_frame_planar_i16(n, cp=self._cp,
+                                                    out_re=out_re,
+                                                    out_im=out_im)
+
         @property
         def available(self):
             return self._ring.available
@@ -342,7 +374,7 @@ def _make_feed(ring, cfg, cp_size, timer, catch_up=False, device_shape=None):
             self._ring.shutdown()
 
     return RingFeed(_CpRingView(ring, cp_size), cfg, timer=timer,
-                    catch_up=catch_up, device_shape=device_shape)
+                    catch_up=catch_up, device_shape=device_shape, int16=int16)
 
 
 if __name__ == "__main__":

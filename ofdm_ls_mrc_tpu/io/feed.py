@@ -26,14 +26,17 @@ from .ring import RingShutdown, RingTimeout, SymbolRing
 
 
 class FrameAssembler:
-    """Collects per-symbol planar reads into a [S, A, F] planar frame pair."""
+    """Collects per-symbol planar reads into a [S, A, F] planar frame pair.
 
-    def __init__(self, cfg: FrameConfig):
+    dtype float32 by default; int16 for the sc16-native feed (half the host
+    buffer and H2D bytes; the fused kernel widens in VMEM)."""
+
+    def __init__(self, cfg: FrameConfig, dtype=np.float32):
         self.cfg = cfg
         s, a, f = cfg.frame_len, cfg.num_antennas, cfg.fft_size
         # CP is dropped by the ring's copy-out, so frames are CP-free here.
-        self.re = np.empty((s, a, f), dtype=np.float32)
-        self.im = np.empty((s, a, f), dtype=np.float32)
+        self.re = np.empty((s, a, f), dtype=dtype)
+        self.im = np.empty((s, a, f), dtype=dtype)
         self._slot = 0
 
     @property
@@ -70,7 +73,8 @@ class RingFeed:
 
     def __init__(self, ring: SymbolRing, cfg: FrameConfig,
                  timer: Optional[PhaseTimer] = None, depth: int = 2,
-                 catch_up: bool = False, device_shape=None):
+                 catch_up: bool = False, device_shape=None,
+                 int16: bool = False):
         if ring.cols != cfg.symbol_len:
             raise ValueError(f"ring cols {ring.cols} != symbol_len {cfg.symbol_len}")
         if ring.rows != cfg.num_antennas:
@@ -101,7 +105,18 @@ class RingFeed:
         # host buffer BEFORE device_put is free, while reshaping on-device
         # costs a full layout re-tiling copy under TPU tiled layouts.
         self.device_shape = tuple(device_shape) if device_shape else None
-        self._buffers = [FrameAssembler(cfg) for _ in range(depth)]
+        # sc16-native mode: frames flow as planar int16 end to end (ring
+        # copy-out -> host buffer -> H2D -> in-kernel widen); requires the
+        # ring's sc16 batch read, which the per-symbol timer path lacks.
+        self.int16 = int16
+        if int16 and timer is not None:
+            raise ValueError("int16 feed uses the bulk read path; "
+                             "per-slot read timing is unavailable")
+        if int16 and not hasattr(ring, "read_frame_planar_i16"):
+            raise ValueError("int16 feed requires an sc16 ring "
+                             "(read_frame_planar_i16)")
+        self._buffers = [FrameAssembler(cfg, np.int16 if int16 else np.float32)
+                         for _ in range(depth)]
         self._ready: "queue.Queue" = queue.Queue(maxsize=depth - 1 or 1)
         self._free: "queue.Queue" = queue.Queue()
         for b in self._buffers:
@@ -131,8 +146,13 @@ class RingFeed:
                             skipped = self.ring.skip(behind * fl)
                             self.skipped_frames += skipped // fl
                             self._consumed_symbols += skipped
-                    if self.timer is None and hasattr(self.ring,
-                                                      "read_frame_planar"):
+                    if self.int16:
+                        self.ring.read_frame_planar_i16(fl, cp=cp,
+                                                        out_re=buf.re,
+                                                        out_im=buf.im)
+                        buf.mark_full()
+                    elif self.timer is None and hasattr(self.ring,
+                                                        "read_frame_planar"):
                         # Bulk path: one native call spin-waits and copies the
                         # whole frame straight into the assembler's planes.
                         self.ring.read_frame_planar(fl, cp=cp,

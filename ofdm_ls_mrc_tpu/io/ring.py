@@ -95,6 +95,11 @@ def _load() -> ctypes.CDLL:
         lib.ring_read_frame.argtypes = [ctypes.c_void_p, fptr, fptr,
                                         ctypes.c_int, ctypes.c_int,
                                         ctypes.c_double]
+        i16ptr = ctypes.POINTER(ctypes.c_int16)
+        lib.ring_read_frame_i16.restype = ctypes.c_int
+        lib.ring_read_frame_i16.argtypes = [ctypes.c_void_p, i16ptr, i16ptr,
+                                            ctypes.c_int, ctypes.c_int,
+                                            ctypes.c_double]
         lib.ring_skip.restype = ctypes.c_int
         lib.ring_skip.argtypes = [ctypes.c_void_p, ctypes.c_int]
         _lib = lib
@@ -249,6 +254,35 @@ class SymbolRing:
             out_im.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
             n, cp, timeout or self._timeout)
         _check(rc, "ring_read_frame")
+        return out_re, out_im
+
+    def read_frame_planar_i16(self, n: int, cp: int = 0,
+                              out_re: Optional[np.ndarray] = None,
+                              out_im: Optional[np.ndarray] = None,
+                              timeout: Optional[float] = None
+                              ) -> Tuple[np.ndarray, np.ndarray]:
+        """sc16-native batch read: n symbols deinterleaved into planar INT16
+        planes [n, rows, cols-cp] without float conversion -- the
+        half-bandwidth feed for kernels that widen sc16 in VMEM
+        (ops/pallas_pipeline int16 input).  Only valid on sc16 rings."""
+        if self.dtype != "sc16":
+            raise RingError("read_frame_planar_i16 requires an sc16 ring")
+        keep = self.cols - cp
+        shape = (n, self.rows, keep)
+        if out_re is None:
+            out_re = np.empty(shape, np.int16)
+        if out_im is None:
+            out_im = np.empty(shape, np.int16)
+        for name, buf in (("out_re", out_re), ("out_im", out_im)):
+            if buf.shape != shape:
+                raise ValueError(f"{name} must have shape {shape}")
+            if buf.dtype != np.int16 or not buf.flags["C_CONTIGUOUS"]:
+                raise ValueError(f"{name} must be C-contiguous int16")
+        p16 = ctypes.POINTER(ctypes.c_int16)
+        rc = self._lib.ring_read_frame_i16(
+            self._handle, out_re.ctypes.data_as(p16),
+            out_im.ctypes.data_as(p16), n, cp, timeout or self._timeout)
+        _check(rc, "ring_read_frame_i16")
         return out_re, out_im
 
     def skip(self, n: int) -> int:

@@ -228,8 +228,11 @@ def _kernel(yre_ref, yim_ref, hre_ref, him_ref, hsqinv_ref,
     inv = hsqinv_ref[:][None]
 
     def load(lo):
-        return (yre_ref[lo:lo + 1].reshape(a, n1, n2),
-                yim_ref[lo:lo + 1].reshape(a, n1, n2))
+        # astype is a no-op for f32 inputs; for int16/bf16 inputs (half the
+        # HBM->VMEM bytes) it is the in-VMEM widening convert, with the
+        # sample scale folded into the (linear) twiddle constants.
+        return (yre_ref[lo:lo + 1].astype(jnp.float32).reshape(a, n1, n2),
+                yim_ref[lo:lo + 1].astype(jnp.float32).reshape(a, n1, n2))
 
     def s1_finish(ar, ai):
         return ((ar * twre - ai * twim).reshape(a * n1, n2),
@@ -263,6 +266,12 @@ def _kernel(yre_ref, yim_ref, hre_ref, him_ref, hsqinv_ref,
             xr, xi = load(k)
             outre_ref[k:k + 1] = jnp.sum(xr[None], axis=1)
             outim_ref[k:k + 1] = jnp.sum(xi[None], axis=1)
+        return
+    if schedule == "io2":
+        # Probe: same IO floor with ONE whole-tile load and ONE whole-tile
+        # write per plane (no per-symbol ref slicing).
+        outre_ref[:] = jnp.sum(yre_ref[:].astype(jnp.float32), axis=1)
+        outim_ref[:] = jnp.sum(yim_ref[:].astype(jnp.float32), axis=1)
         return
     if schedule == "s1only":
         for k in range(ts):
@@ -542,6 +551,13 @@ def fused_pipeline(y: CArray, hre: jnp.ndarray, him: jnp.ndarray,
     hsq = hsqinv.reshape(n1, n2)[br, :]
 
     tw = _twiddle(n1, n2, -1.0)[br]  # [k1_br, i2]
+    if jnp.issubdtype(yre.dtype, jnp.integer):
+        # sc16-native input: samples arrive as int16 (half the input DMA of
+        # f32; the exact fidelity of the radio wire format) and the
+        # full-scale normalization rides the linear twiddle constants --
+        # zero extra VPU work beyond the widening convert.
+        from ..golden.io import SC16_FULL_SCALE
+        tw = tw / SC16_FULL_SCALE
     twre = jnp.asarray(np.ascontiguousarray(tw.real), jnp.float32)
     twim = jnp.asarray(np.ascontiguousarray(tw.imag), jnp.float32)
     stage_tw = [jnp.asarray(np.broadcast_to(c[:, None], (n1, n2)).copy())
@@ -610,6 +626,12 @@ def demod_frame_fused(frame: CArray, x_full_perm: CArray, *, cp: int,
         f = y.shape[-1]
         pilot_3d = y[0]
     # Pilot symbol: one-off XLA FFT; LS estimate in permuted order.
+    if jnp.issubdtype(pilot_3d.re.dtype, jnp.integer):
+        # sc16-native frames: widen+scale the pilot row for the XLA side
+        # (the data rows convert in-kernel; see fused_pipeline).
+        from ..golden.io import SC16_FULL_SCALE
+        pilot_3d = CArray(pilot_3d.re.astype(jnp.float32) / SC16_FULL_SCALE,
+                          pilot_3d.im.astype(jnp.float32) / SC16_FULL_SCALE)
     p = fastpath.fft_permuted(pilot_3d)                # [A, F]
     denom = 1.0 / x_full_perm.abs2()
     hre = (p.re * x_full_perm.re + p.im * x_full_perm.im) * denom

@@ -536,3 +536,54 @@ def test_per_symbol_save_and_resume_state(workdir):
             assert os.path.exists(ckpt)
         else:
             assert "resumed channel estimate" in dm_out
+
+
+def test_sc16_native_feed_loopback(workdir):
+    """--sc16-native: planar int16 flows ring -> host -> device with the
+    fused kernel widening in VMEM; EVM matches the float path."""
+    cap = str(workdir / "capture_sc16.dat")
+    sent = str(workdir / "sent.dat")
+    out = str(workdir / "Output_tpu.dat")
+    uid = f"/ofdm_app_{uuid.uuid4().hex[:8]}"
+    # F=1024: --sc16-native requires the fused pipeline (a (2^k,128) split).
+    common = ["--antennas", "2", "--fft-size", "1024",
+              "--cp-size", str(CP), "--frame-len", "4"]
+    r = run(["ofdm_ls_mrc_tpu.apps.tx_app", "--out", cap, "--data-out", sent,
+             "--out-format", "sc16", "--pn-preamble", "--snr", "35",
+             "--channel-taps", "4",
+             "--pilots", str(workdir / "none.dat"),
+             "--pn-file", str(workdir / "none.dat")] + common
+            + ["--num-frames", "1"])
+    assert r.returncode == 0, r.stderr
+
+    rx = subprocess.Popen(
+        [sys.executable, "-m", "ofdm_ls_mrc_tpu.apps.rx_app", "--file", cap,
+         "--file-format", "sc16", "--ring-dtype", "sc16", "--shm-uid", uid,
+         "--thres", "0.05", "--wait-writes",
+         "--pn-file", str(workdir / "none.dat"),
+         "--num-frames", "1"] + common,
+        cwd=REPO, env=ENV_BASE, stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+        text=True)
+    dm = subprocess.Popen(
+        [sys.executable, "-m", "ofdm_ls_mrc_tpu.apps.demod_app",
+         "--shm-uid", uid, "--output", out, "--num-frames", "1",
+         "--ring-dtype", "sc16", "--sc16-native", "--fft-impl", "four_step",
+         "--pilots", str(workdir / "none.dat")] + common,
+        cwd=REPO, env=ENV_BASE, stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+        text=True)
+    rx_out, rx_err = rx.communicate(timeout=600)
+    dm_out, dm_err = dm.communicate(timeout=600)
+    assert rx.returncode == 0, rx_err + rx_out
+    assert dm.returncode == 0, dm_err + dm_out
+
+    got = np.fromfile(out, dtype=np.complex64).reshape(3, 1023)
+    want = np.fromfile(sent, dtype=np.complex64).reshape(3, 1023)
+    got_natural = np.fft.fftshift(got, axes=-1)
+    evm = 10 * np.log10(np.mean(np.abs(got_natural - want) ** 2)
+                        / np.mean(np.abs(want) ** 2))
+    assert evm < -25.0, f"EVM {evm:.1f} dB"
+
+    # Misconfigurations are rejected loudly.
+    r = run(["ofdm_ls_mrc_tpu.apps.demod_app", "--shm-uid", uid + "x",
+             "--sc16-native"] + common)
+    assert r.returncode == 2 and "requires --ring-dtype sc16" in r.stderr

@@ -182,3 +182,30 @@ def test_random_geometry_sweep(rng):
         np.testing.assert_allclose(
             got, want, rtol=6e-4, atol=6e-4,
             err_msg=f"geometry a={a} s={s} cp={cp} f={f}")
+
+
+def test_sc16_native_int16_input(rng):
+    """int16-plane frames (sc16-native input: half the input DMA, the exact
+    fidelity of the radio wire format) produce the same result as f32 on the
+    identically quantized data; the full-scale factor rides the twiddle
+    constants."""
+    import jax.numpy as jnp
+
+    s, a = 9, A
+    frame = (0.1 * (rng.standard_normal((s, a, F))
+                    + 1j * rng.standard_normal((s, a, F)))).astype(np.complex64)
+    q = np.round(frame.view(np.float32) * 32767).astype(np.int16)
+    frame_q = (q.astype(np.float32) / 32767).view(np.complex64).reshape(s, a, F)
+    pilot = np.exp(2j * np.pi * rng.random(F - 1)).astype(np.complex64)
+    x_perm = fastpath.prepare_pilot_fast(pilot, F)
+    ref = demod_frame_fused(CArray.from_numpy(frame_q), x_perm, cp=0,
+                            interpret=True).to_numpy()
+    re16 = np.ascontiguousarray(q.reshape(s, a, F, 2)[..., 0])
+    im16 = np.ascontiguousarray(q.reshape(s, a, F, 2)[..., 1])
+    got = demod_frame_fused(CArray(jnp.asarray(re16), jnp.asarray(im16)),
+                            x_perm, cp=0, interpret=True).to_numpy()
+    err = np.max(np.abs(got - ref)) / np.max(np.abs(ref))
+    assert err < 1e-5, err
+    # And through the golden oracle on the quantized stream.
+    want = dsp.demod_frame(frame_q, pilot, 0)
+    np.testing.assert_allclose(got, want, rtol=3e-4, atol=3e-4)

@@ -488,3 +488,33 @@ def test_tsan_soak():
     assert r.returncode == 0, r.stdout + r.stderr
     assert "ring_test OK" in r.stdout
     assert "WARNING: ThreadSanitizer" not in r.stderr
+
+
+class TestSc16NativeRead:
+    @pytest.fixture
+    def sc16_pair(self):
+        uid = _uid()
+        m = SymbolRing(uid, ROWS, COLS, LEN, master=True, timeout=5.0,
+                       dtype="sc16")
+        s = SymbolRing(uid, ROWS, COLS, LEN, master=False, timeout=5.0,
+                       dtype="sc16")
+        yield m, s
+        s.close()
+        m.close()
+
+    def test_int16_batch_read_exact(self, sc16_pair, rng):
+        """read_frame_planar_i16 returns the EXACT wire int16 (no float
+        conversion), deinterleaved planar with CP dropped."""
+        w, r = sc16_pair
+        iq = rng.integers(-32767, 32767, (3, ROWS, COLS, 2)).astype(np.int16)
+        for k in range(3):
+            w.write(np.ascontiguousarray(iq[k].reshape(ROWS, -1)))
+        re, im = r.read_frame_planar_i16(3, cp=CP)
+        np.testing.assert_array_equal(re, iq[:, :, CP:, 0])
+        np.testing.assert_array_equal(im, iq[:, :, CP:, 1])
+
+    def test_rejected_on_cf32_ring(self, pair):
+        from ofdm_ls_mrc_tpu.io.ring import RingError
+        _, r = pair
+        with pytest.raises(RingError):
+            r.read_frame_planar_i16(1)

@@ -35,6 +35,9 @@ def main():
     ap.add_argument("--fft", type=int, default=1024)
     ap.add_argument("--symbols", type=int, default=101)
     ap.add_argument("--ts", type=int, default=None)
+    ap.add_argument("--input", default="f32", choices=["f32", "i16"],
+                    help="kernel input dtype: f32 (default) or i16 "
+                         "(sc16-native planar int16 -- half the input DMA)")
     args = ap.parse_args()
 
     import jax
@@ -56,6 +59,10 @@ def main():
               + 1j * rng.standard_normal((k, s, a, f))).astype(np.complex64)
     frames = frames.reshape((k,) + fused_frame_shape(s, a, f))
     cf = CArray.from_numpy(frames)
+    if args.input == "i16":
+        to16 = lambda v: np.clip(np.round(np.asarray(v) * 32767.0),
+                                 -32767, 32767).astype(np.int16)
+        cf = CArray(to16(cf.re), to16(cf.im))
     cf = CArray(jax.device_put(cf.re), jax.device_put(cf.im))
 
     def measure(schedule, exact):
