@@ -94,11 +94,18 @@ def _sharded_demod_local_fused(pilot: CArray, data: CArray, x_perm: CArray,
     antenna shard with normalization deferred (hsqinv = 1) so the MRC
     numerator and the local |H|^2 ride ONE fused psum over ``ant``; the
     divide and the edge gather to reference order happen after.
+
+    Accepts sc16-native planar int16 shards (the kernel widens in VMEM;
+    the pilot row widens here for the XLA estimate path).
     """
     import jax.numpy as jnp
 
     from ..ops import pallas_pipeline
 
+    if jnp.issubdtype(pilot.re.dtype, jnp.integer):
+        from ..golden.io import SC16_FULL_SCALE
+        pilot = CArray(pilot.re.astype(jnp.float32) / SC16_FULL_SCALE,
+                       pilot.im.astype(jnp.float32) / SC16_FULL_SCALE)
     yp = fastpath.fft_permuted(drop_cyclic_prefix(pilot, cp))   # [A_l, F] perm
     denom = 1.0 / x_perm.abs2()
     hre = (yp.re * x_perm.re + yp.im * x_perm.im) * denom

@@ -173,3 +173,31 @@ def test_global_from_host_blocks_single_process(rng, devices):
     g = global_from_host_blocks(block, mesh)
     assert g.shape == (8, CFG.num_antennas, CFG.fft_size)
     np.testing.assert_allclose(g.to_numpy(), block, atol=1e-6)
+
+
+def test_sharded_fused_accepts_int16_shards(rng, devices):
+    """sc16-native planar int16 frames through the fused shard body: the
+    kernel widens in VMEM, the pilot row widens on the XLA side, and the
+    result matches the f32 path on identically quantized data."""
+    import jax.numpy as jnp
+
+    cfg = FrameConfig(num_antennas=4, fft_size=1024, cyclic_prefix=0,
+                      frame_len=5)
+    pilot = np.exp(2j * np.pi * rng.random(cfg.num_subcarriers)
+                   ).astype(np.complex64)
+    frame = (0.1 * crandn(rng, (cfg.frame_len, cfg.num_antennas,
+                                cfg.symbol_len)))
+    q = np.round(frame.view(np.float32) * 32767).astype(np.int16)
+    frame_q = (q.astype(np.float32) / 32767).view(np.complex64).reshape(
+        frame.shape)
+    mesh = make_mesh(2, 2, devices=jax.devices()[:4])
+    rx = ShardedUplinkReceiver(cfg, pilot, mesh, pipeline="fused")
+    want = rx.demod_frame(frame_q).to_numpy()
+    from ofdm_ls_mrc_tpu.ops.cplx import CArray
+    sh = frame.shape + (2,)
+    re16 = np.ascontiguousarray(q.reshape(sh)[..., 0])
+    im16 = np.ascontiguousarray(q.reshape(sh)[..., 1])
+    got = rx.demod_frame(CArray(jnp.asarray(re16),
+                                jnp.asarray(im16))).to_numpy()
+    err = np.max(np.abs(got - want)) / np.max(np.abs(want))
+    assert err < 1e-5, err
