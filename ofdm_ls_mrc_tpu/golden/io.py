@@ -64,6 +64,13 @@ def read_output(path: str, subcarriers: int = 1023) -> np.ndarray:
     return raw.reshape(-1, subcarriers)
 
 
+def num_symbols(path: str, dimension: int, prefix: int = 0) -> int:
+    """Symbols stored in a raw complex64 capture: file bytes / (8 * symbol
+    length) -- the reference's numSyms helper (cpuLS.hpp:176-184), which
+    sizes the TX modulation loop from the input file."""
+    return os.path.getsize(path) // (8 * (dimension + prefix))
+
+
 def load_pn_sequence(path: Optional[str]) -> np.ndarray:
     """Load the PN frame-sync sequence (rx_and_corr.cpp:227-235).
 

@@ -224,3 +224,17 @@ class TestSc16Clipping:
             gio.complex_to_sc16(ok)
         assert gio.sc16_clipped_samples() == before
         assert not any("complex_to_sc16" in str(x.message) for x in w)
+
+
+def test_num_symbols_helper(tmp_path, rng):
+    """golden.io.num_symbols == the reference's numSyms file sizing
+    (cpuLS.hpp:176-184): bytes / (8 * symbol length)."""
+    from ofdm_ls_mrc_tpu.golden.io import num_symbols
+
+    p = tmp_path / "cap.dat"
+    data = (rng.standard_normal(5 * 72) + 1j * rng.standard_normal(5 * 72)
+            ).astype(np.complex64)
+    data.tofile(p)
+    assert num_symbols(str(p), 72) == 5
+    assert num_symbols(str(p), 64, prefix=8) == 5
+    assert num_symbols(str(p), 100) == 3   # truncating, like the reference

@@ -50,7 +50,13 @@ def main():
     ap.add_argument("--dtype", default="complex64", choices=["complex64", "sc16"])
     ap.add_argument("--batch", action="store_true",
                     help="consume via the one-call-per-frame batch read")
+    ap.add_argument("--i16", action="store_true",
+                    help="sc16-native consumer: planar int16 copy-out "
+                         "without float conversion (read_frame_planar_i16; "
+                         "requires --dtype sc16 and --batch)")
     args = ap.parse_args()
+    if args.i16 and (args.dtype != "sc16" or not args.batch):
+        raise SystemExit("--i16 requires --dtype sc16 --batch")
 
     from ofdm_ls_mrc_tpu.io.ring import SymbolRing
 
@@ -69,13 +75,14 @@ def main():
     t0 = time.perf_counter()
     if args.batch:
         keep = cols - args.cp
-        bre = np.empty((args.length, args.antennas, keep), np.float32)
+        buf_dt = np.int16 if args.i16 else np.float32
+        bre = np.empty((args.length, args.antennas, keep), buf_dt)
         bim = np.empty_like(bre)
+        read = r.read_frame_planar_i16 if args.i16 else r.read_frame_planar
         left = n_timed
         while left > 0:
             chunk = min(left, args.length)
-            r.read_frame_planar(chunk, cp=args.cp, out_re=bre[:chunk],
-                                out_im=bim[:chunk])
+            read(chunk, cp=args.cp, out_re=bre[:chunk], out_im=bim[:chunk])
             left -= chunk
     else:
         for _ in range(n_timed):
