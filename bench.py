@@ -86,8 +86,10 @@ def bench_tpu(cfg, pilot, frames: np.ndarray, reps: int,
         # constants).  Fused pipeline only.
         if not (pipeline == "fused" and supports_fused(cfg.fft_size)):
             raise SystemExit("--input sc16 requires the fused pipeline")
-        to16 = lambda v: np.clip(np.round(np.asarray(v) * 32767.0),
-                                 -32767, 32767).astype(np.int16)
+        from ofdm_ls_mrc_tpu.golden.io import SC16_FULL_SCALE
+        to16 = lambda v: np.clip(np.round(np.asarray(v) * SC16_FULL_SCALE),
+                                 -SC16_FULL_SCALE,
+                                 SC16_FULL_SCALE).astype(np.int16)
         cf = CArray(to16(cf.re), to16(cf.im))
     cf = CArray(jax.device_put(cf.re), jax.device_put(cf.im))
     demod_xp_kw = lambda x, xp: demod_xp(x, x_full_perm=xp)

@@ -123,9 +123,13 @@ def main(argv=None) -> int:
             print("--sc16-native requires the fused pipeline", file=sys.stderr)
             return 2
 
+    if args.batch_frames > 1 and args.per_symbol:
+        print("note: --batch-frames has no effect in --per-symbol mode",
+              file=sys.stderr)
     continuous = args.num_frames <= 0
     timer = None if (args.no_timer or continuous or args.sc16_native
-                     or args.batch_frames > 1) else PhaseTimer(
+                     or (args.batch_frames > 1 and not args.per_symbol)
+                     ) else PhaseTimer(
         num_slots=args.frame_len, num_times=args.num_frames)
 
     ring = SymbolRing(args.shm_uid, args.antennas, ring_cols, args.frame_len,
@@ -194,10 +198,11 @@ def main(argv=None) -> int:
     dump_f = open(args.dump_symbols, "wb") if args.dump_symbols else None
 
     def dump_frame(fr):
+        from ..golden.io import SC16_FULL_SCALE
         re, im = np.asarray(fr.re), np.asarray(fr.im)
         if re.dtype != np.float32:        # sc16-native planes -> full scale
-            re = re.astype(np.float32) / 32767.0
-            im = im.astype(np.float32) / 32767.0
+            re = re.astype(np.float32) / SC16_FULL_SCALE
+            im = im.astype(np.float32) / SC16_FULL_SCALE
         arr = (re + 1j * im).astype(np.complex64)
         arr.reshape(cfg.frame_len, cfg.num_antennas, -1).tofile(dump_f)
 
@@ -248,7 +253,7 @@ def main(argv=None) -> int:
     print(f"demodulated {n} frame(s) -> {args.output}")
     if feed.drop_events:
         print(f"writer overruns: {feed.drop_events} event(s), "
-              f"{feed.resynced_frames} frame(s) discarded for resync",
+              f"{feed.resynced_frames} boundary resync(s)",
               file=sys.stderr)
 
     if timer:
@@ -274,6 +279,10 @@ def _run_per_symbol(args, cfg, pilot, ring, timer, continuous) -> int:
     from ..ops.cplx import CArray
 
     pipeline = "fused" if args.pipeline == "fused" else "composed"
+    if args.pipeline != pipeline:
+        print(f"note: --per-symbol has no {args.pipeline!r} variant; "
+              f"using 'composed' (the reference per-symbol semantics)",
+              file=sys.stderr)
     sd = StreamingDemodulator(cfg, pilot, fft_impl=args.fft_impl,
                               timer=timer, pipeline=pipeline)
     sd.warmup()

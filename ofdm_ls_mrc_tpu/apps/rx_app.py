@@ -255,6 +255,18 @@ def _run_continuous_sync(args, samples: np.ndarray, sym_len: int,
     th = threading.Thread(target=writer, daemon=True)
     th.start()
 
+    def enqueue(item) -> bool:
+        """Bounded put that never deadlocks: gives up (False) once the
+        writer thread has died (ring shutdown/timeout), since nothing will
+        ever drain the queue again."""
+        while state["err"] is None:
+            try:
+                q.put(item, timeout=0.2)
+                return True
+            except queue.Full:
+                continue
+        return False
+
     continuous = args.num_frames <= 0
     buf_len = max(args.frame_size, 1)
     n_total = samples.shape[1]
@@ -265,8 +277,7 @@ def _run_continuous_sync(args, samples: np.ndarray, sym_len: int,
             if pos >= n_total:
                 if not continuous:
                     for fr in sync.flush():
-                        if sent < args.num_frames:
-                            q.put(fr)
+                        if sent < args.num_frames and enqueue(fr):
                             sent += 1
                     break
                 pos = 0  # file-player mode cycles the capture
@@ -275,11 +286,12 @@ def _run_continuous_sync(args, samples: np.ndarray, sym_len: int,
             for fr in sync.push(chunk):
                 if not continuous and sent >= args.num_frames:
                     break
-                q.put(fr)
+                if not enqueue(fr):
+                    break
                 sent += 1
     except KeyboardInterrupt:
         print(f"SIGINT: stopping after {sent} frame(s)")
-    q.put(None)
+    enqueue(None)
     th.join(timeout=args.timeout)
     print(f"continuous sync: {sent} frame(s) ({state['written']} symbols), "
           f"resyncs={sync.resyncs} drift_corrections={sync.drift_corrections} "

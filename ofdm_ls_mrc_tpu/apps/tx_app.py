@@ -91,6 +91,10 @@ def _channelize(stream, args, n_ch: int) -> "np.ndarray":
     if args.same_time or not args.channels:
         return np.broadcast_to(stream, (rows, stream.size))
     per = stream.size // rows
+    if stream.size % rows:
+        print(f"warning: partitioning truncates {stream.size % rows} "
+              f"trailing sample(s) ({stream.size} not divisible by "
+              f"{rows} channels)", file=sys.stderr)
     return stream[: per * rows].reshape(rows, per)
 
 

@@ -127,8 +127,11 @@ def complex_to_sc16(c: np.ndarray) -> np.ndarray:
     global _sc16_clipped, _sc16_warned
     c = np.ascontiguousarray(c, dtype=np.complex64)
     comp = c.view(np.float32)
-    n_clip = int(np.count_nonzero(np.abs(comp) > 1.0))
-    if n_clip:
+    scaled = comp * SC16_FULL_SCALE
+    # Cheap scalar guard on the live ingest path (SymbolRing.write calls
+    # this per symbol): the full clip count runs only when something clips.
+    if np.max(np.abs(scaled), initial=0.0) > SC16_FULL_SCALE:
+        n_clip = int(np.count_nonzero(np.abs(scaled) > SC16_FULL_SCALE))
         _sc16_clipped += n_clip
         if not _sc16_warned:
             _sc16_warned = True
@@ -137,8 +140,7 @@ def complex_to_sc16(c: np.ndarray) -> np.ndarray:
                 f"complex_to_sc16: {n_clip} sample component(s) beyond "
                 f"+/-1.0 full scale clipped (further clipping counted in "
                 f"sc16_clipped_samples(), not re-warned)", stacklevel=2)
-    iq = np.round(np.clip(comp * SC16_FULL_SCALE,
-                          -SC16_FULL_SCALE, SC16_FULL_SCALE))
+    iq = np.round(np.clip(scaled, -SC16_FULL_SCALE, SC16_FULL_SCALE))
     return iq.astype(np.int16)
 
 

@@ -91,15 +91,17 @@ class RingFeed:
         self.catch_up = catch_up
         self.skipped_frames = 0
         # Overrun-drop detection: the default live writer (ring_write wait=0)
-        # silently drops symbols on overrun, and one mid-frame drop would
+        # silently drops symbols on overrun, and one mid-stream drop would
         # permanently shift the consumer's pilot/data slot alignment.  The
-        # reader snapshots the ring's dropped counter per frame; on a delta it
-        # discards the misaligned frame and skips forward to the next
-        # writer-stream frame boundary (stream index = symbols consumed +
-        # symbols dropped, since the writer emits aligned frames from index 0).
+        # reader snapshots the ring's dropped counter per frame; on a delta
+        # the just-read frame is still delivered (drops happen at the ring
+        # HEAD, always ahead of the reader) and a resync runs before the
+        # next read: drain the backlog containing the gap, then discard to
+        # the next writer-stream frame boundary (see _resync).
         self.drop_events = 0
         self.resynced_frames = 0
         self._consumed_symbols = 0
+        self._pending_resync = False
         # Optional consumer-preferred on-device shape for each frame plane
         # (e.g. the fused kernel's [S, A, n1, n2]): reshaping the contiguous
         # host buffer BEFORE device_put is free, while reshaping on-device
@@ -126,17 +128,43 @@ class RingFeed:
         self._error: Optional[BaseException] = None
 
     # -- reader thread -----------------------------------------------------------
+    def _resync(self, cp: int, fl: int) -> None:
+        """Post-overrun recovery.  The gap lies somewhere inside the queued
+        backlog (drops happen at the ring HEAD), so: drain the backlog, then
+        discard to the next writer-stream frame boundary (stream index =
+        symbols consumed + symbols dropped; the writer emits aligned frames
+        from index 0).  Loses at most ring-capacity + frame_len symbols and
+        repeats if further drops land while resyncing."""
+        while True:
+            drained = self.ring.skip(self.ring.available)
+            self._consumed_symbols += drained
+            dropped = getattr(self.ring, "dropped", self._dropped_seen)
+            mis = (self._consumed_symbols + dropped) % fl
+            # Blocking read-and-discard (not skip) keeps correct
+            # backpressure when the boundary symbols haven't arrived yet.
+            for _ in range((fl - mis) % fl):
+                self.ring.read_next_planar(cp=cp)
+                self._consumed_symbols += 1
+            now = getattr(self.ring, "dropped", dropped)
+            if now == dropped:
+                self._dropped_seen = now
+                break
+        self._pending_resync = False
+        self.resynced_frames += 1
+
     def _read_loop(self) -> None:
         cp = self.cfg.cyclic_prefix
         fl = self.cfg.frame_len
-        dropped_seen = getattr(self.ring, "dropped", 0)
+        self._dropped_seen = getattr(self.ring, "dropped", 0)
         try:
             while not self._stop.is_set():
                 buf = self._free.get()
                 if buf is None:  # stop() sentinel
                     return
-                while True:  # re-reads after discarding a drop-corrupted frame
+                while True:  # re-runs after an overrun resync
                     buf.reset()
+                    if self._pending_resync:
+                        self._resync(cp, fl)
                     if self.catch_up:
                         # Leave the freshest (possibly partial) frame in the
                         # ring and discard everything older, whole frames at a
@@ -168,29 +196,26 @@ class RingFeed:
                                 re, im = self.ring.read_next_planar(cp=cp)
                             buf.push(re, im)
                     self._consumed_symbols += fl
-                    dropped_now = getattr(self.ring, "dropped", dropped_seen)
-                    if dropped_now == dropped_seen:
-                        break
-                    # The writer overran the ring during this frame, so the
-                    # assembled pilot/data slots are misaligned: discard the
-                    # frame and realign to the next writer-stream frame
-                    # boundary (stream index = symbols consumed + dropped;
-                    # the writer emits aligned frames from index 0).
-                    import sys
-                    n_new = dropped_now - dropped_seen
-                    dropped_seen = dropped_now
-                    self.drop_events += 1
-                    self.resynced_frames += 1
-                    misalign = (self._consumed_symbols + dropped_now) % fl
-                    print(f"RingFeed: writer dropped {n_new} symbol(s) "
-                          f"mid-frame; discarding frame and resyncing "
-                          f"({fl - misalign if misalign else 0} symbols to "
-                          f"boundary)", file=sys.stderr)
-                    # Blocking read-and-discard (not skip) keeps correct
-                    # backpressure when the boundary symbols haven't arrived.
-                    for _ in range((fl - misalign) % fl):
-                        self.ring.read_next_planar(cp=cp)
-                        self._consumed_symbols += 1
+                    dropped_now = getattr(self.ring, "dropped",
+                                          self._dropped_seen)
+                    if dropped_now != self._dropped_seen:
+                        # The writer overran the ring.  The ring only drops
+                        # at its HEAD when full, so every dropped symbol's
+                        # stream index is AHEAD of the reader: the frame just
+                        # read is intact and IS delivered; the gap sits at an
+                        # unknown position inside the queued backlog, so the
+                        # NEXT read is preceded by a resync (drain the
+                        # backlog, then discard to a writer-stream frame
+                        # boundary).
+                        import sys
+                        print(f"RingFeed: writer dropped "
+                              f"{dropped_now - self._dropped_seen} symbol(s) "
+                              f"ahead; resyncing before the next frame",
+                              file=sys.stderr)
+                        self._dropped_seen = dropped_now
+                        self.drop_events += 1
+                        self._pending_resync = True
+                    break
                 self._ready.put(buf)
         except (RingShutdown, RingTimeout) as e:
             self._error = e

@@ -587,3 +587,41 @@ def test_sc16_native_feed_loopback(workdir):
     r = run(["ofdm_ls_mrc_tpu.apps.demod_app", "--shm-uid", uid + "x",
              "--sc16-native"] + common)
     assert r.returncode == 2 and "requires --ring-dtype sc16" in r.stderr
+
+
+def test_continuous_sync_file_player_exits_on_reader_shutdown(workdir):
+    """--continuous-sync --num-frames 0: the producer must exit cleanly when
+    the demod reader shuts the ring down, even with a full frame queue (the
+    bounded-queue deadlock found in review)."""
+    cap = str(workdir / "capture.dat")
+    out = str(workdir / "Output_tpu.dat")
+    uid = f"/ofdm_app_{uuid.uuid4().hex[:8]}"
+    common = ["--antennas", str(A), "--fft-size", str(F),
+              "--cp-size", str(CP), "--frame-len", str(S)]
+    r = run(["ofdm_ls_mrc_tpu.apps.tx_app", "--out", cap,
+             "--pn-every-frame", "--snr", "35", "--channel-taps", "4",
+             "--pilots", str(workdir / "none.dat"),
+             "--pn-file", str(workdir / "none.dat")] + common
+            + ["--num-frames", "2"])
+    assert r.returncode == 0, r.stderr
+
+    rx = subprocess.Popen(
+        [sys.executable, "-m", "ofdm_ls_mrc_tpu.apps.rx_app", "--file", cap,
+         "--shm-uid", uid, "--thres", "0.4", "--wait-writes",
+         "--continuous-sync", "--frame-size", "700",
+         "--pn-file", str(workdir / "none.dat"),
+         "--num-frames", "0"] + common,                 # file-player mode
+        cwd=REPO, env=ENV_BASE, stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+        text=True)
+    dm = subprocess.Popen(
+        [sys.executable, "-m", "ofdm_ls_mrc_tpu.apps.demod_app",
+         "--shm-uid", uid, "--output", out, "--num-frames", "3",
+         "--pilots", str(workdir / "none.dat")] + common,
+        cwd=REPO, env=ENV_BASE, stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+        text=True)
+    dm_out, dm_err = dm.communicate(timeout=300)
+    rx_out, rx_err = rx.communicate(timeout=120)        # must NOT hang
+    assert dm.returncode == 0, dm_err + dm_out
+    assert rx.returncode == 0, rx_err + rx_out
+    assert "demodulated 3 frame(s)" in dm_out
+    assert "continuous sync:" in rx_out

@@ -385,14 +385,17 @@ class TestCatchUpFeed:
 
 class _ScriptedRing:
     """Duck-typed ring delivering a scripted consumer stream: each entry is
-    (writer_stream_idx, dropped_total_after_this_read).  Lets the feed's
-    overrun-resync logic be tested deterministically (a real no-wait overrun
-    race cannot pin WHERE in the frame the drop lands)."""
+    (writer_stream_idx, dropped_total_after_this_read).  ``queued`` models
+    how many of the upcoming entries are sitting in the ring when the feed
+    resyncs (the drain skips exactly those).  Lets the feed's overrun-resync
+    logic be tested deterministically (a real no-wait overrun race cannot
+    pin WHERE in the backlog the drop lands)."""
 
-    def __init__(self, rows, cols, stream):
+    def __init__(self, rows, cols, stream, queued=0):
         self.rows, self.cols = rows, cols
         self._stream = list(stream)
         self._dropped = 0
+        self._queued = queued
 
     def read_next_planar(self, cp=0):
         from ofdm_ls_mrc_tpu.io.ring import RingShutdown
@@ -400,6 +403,7 @@ class _ScriptedRing:
             raise RingShutdown("stream exhausted")
         idx, dropped = self._stream.pop(0)
         self._dropped = dropped
+        self._queued = max(self._queued - 1, 0)
         re = np.full((self.rows, self.cols), float(idx), np.float32)
         return re, np.zeros_like(re)
 
@@ -409,10 +413,10 @@ class _ScriptedRing:
 
     @property
     def available(self):
-        return len(self._stream)
+        return min(self._queued, len(self._stream))
 
     def skip(self, n):
-        k = min(n, len(self._stream))
+        k = min(n, self.available)
         for _ in range(k):
             self.read_next_planar()
         return k
@@ -422,38 +426,60 @@ class _ScriptedRing:
 
 
 class TestDropResync:
-    def test_mid_frame_drop_discards_and_resyncs(self):
-        """A writer overrun mid-frame shifts pilot/data slot alignment; the
-        feed must detect the ring's dropped-counter delta, discard the
-        misaligned frame, and realign to the next writer-stream frame
-        boundary instead of silently decoding garbage forever."""
+    def test_drop_ahead_delivers_intact_frame_then_resyncs(self):
+        """Ring drops land at the HEAD, ahead of the reader: the frame being
+        read when the counter steps is intact and must be DELIVERED; the
+        resync then discards to the writer-stream boundary so post-gap
+        frames realign instead of silently decoding a shifted stream."""
         from ofdm_ls_mrc_tpu import FrameConfig
         from ofdm_ls_mrc_tpu.io.feed import RingFeed
 
         cfg = FrameConfig(num_antennas=ROWS, fft_size=COLS, cyclic_prefix=0,
                           frame_len=3)
-        # Writer stream: frames [0,1,2] [3,4,5] [6,7,8] [9,10,11]; symbol 4
-        # is dropped on overrun, so the consumer sees 3,5,6 as its second
-        # "frame" (misaligned) with the dropped counter stepping to 1.
-        stream = [(0, 0), (1, 0), (2, 0),
-                  (3, 0), (5, 1), (6, 1),
-                  (7, 1), (8, 1),
+        # Writer frames [0,1,2][3,4,5][6,7,8][9,10,11]; symbol 4 drops on
+        # overrun while the reader is inside frame 0 (counter steps at the
+        # read of idx 1).  Nothing is queued when the resync runs, so the
+        # boundary discard consumes 3 and 5 (consumed=3 + dropped=1 -> 2
+        # symbols to the next boundary).
+        stream = [(0, 0), (1, 1), (2, 1),
+                  (3, 1), (5, 1),
+                  (6, 1), (7, 1), (8, 1),
                   (9, 1), (10, 1), (11, 1)]
         feed = RingFeed(_ScriptedRing(ROWS, COLS, stream), cfg)
-        frames = [np.asarray(f.re)[:, 0, 0] for f in feed.frames(max_frames=2)]
+        frames = [np.asarray(f.re)[:, 0, 0] for f in feed.frames(max_frames=3)]
         feed.stop()
         assert feed.drop_events == 1
         assert feed.resynced_frames == 1
+        np.testing.assert_array_equal(frames[0], [0.0, 1.0, 2.0])  # intact
+        np.testing.assert_array_equal(frames[1], [6.0, 7.0, 8.0])  # realigned
+        np.testing.assert_array_equal(frames[2], [9.0, 10.0, 11.0])
+
+    def test_resync_drains_queued_backlog_first(self):
+        """The gap sits INSIDE the queued backlog; the resync must drain it
+        before the boundary discard (a boundary computed against stale
+        backlog would deliver the corrupted frame as good data)."""
+        from ofdm_ls_mrc_tpu import FrameConfig
+        from ofdm_ls_mrc_tpu.io.feed import RingFeed
+
+        cfg = FrameConfig(num_antennas=ROWS, fft_size=COLS, cyclic_prefix=0,
+                          frame_len=3)
+        # After frame [0,1,2] is read (counter already at 1 from a drop of
+        # idx 7), symbols 3,4,5,6,8 are queued: the drain consumes them,
+        # leaving consumed=8, dropped=1 -> boundary at (8+1)%3=0, so frame
+        # [9,10,11] follows immediately.
+        stream = [(0, 0), (1, 1), (2, 1),
+                  (3, 1), (4, 1), (5, 1), (6, 1), (8, 1),
+                  (9, 1), (10, 1), (11, 1)]
+        feed = RingFeed(_ScriptedRing(ROWS, COLS, stream, queued=8), cfg)
+        frames = [np.asarray(f.re)[:, 0, 0] for f in feed.frames(max_frames=2)]
+        feed.stop()
+        assert feed.drop_events == 1
         np.testing.assert_array_equal(frames[0], [0.0, 1.0, 2.0])
-        # The misaligned [3,5,6] frame is discarded, 7 and 8 consumed to
-        # reach the boundary, and the next delivered frame is the aligned
-        # writer frame [9,10,11].
         np.testing.assert_array_equal(frames[1], [9.0, 10.0, 11.0])
 
-    def test_whole_frame_drop_keeps_alignment(self):
-        """Drops in whole-frame multiples preserve alignment: the triggering
-        frame is still discarded (conservative) but no boundary skip is
-        needed and the next frame is delivered as-is."""
+    def test_whole_frame_drop_realigns_without_discard(self):
+        """Drops in whole-frame multiples keep alignment: after the drain
+        the boundary discard is zero symbols and nothing else is lost."""
         from ofdm_ls_mrc_tpu import FrameConfig
         from ofdm_ls_mrc_tpu.io.feed import RingFeed
 
@@ -462,10 +488,11 @@ class TestDropResync:
         stream = [(0, 0), (1, 0), (2, 3),      # frame 1 (idx 3-5) dropped
                   (6, 3), (7, 3), (8, 3)]
         feed = RingFeed(_ScriptedRing(ROWS, COLS, stream), cfg)
-        frames = [np.asarray(f.re)[:, 0, 0] for f in feed.frames(max_frames=1)]
+        frames = [np.asarray(f.re)[:, 0, 0] for f in feed.frames(max_frames=2)]
         feed.stop()
         assert feed.drop_events == 1
-        np.testing.assert_array_equal(frames[0], [6.0, 7.0, 8.0])
+        np.testing.assert_array_equal(frames[0], [0.0, 1.0, 2.0])
+        np.testing.assert_array_equal(frames[1], [6.0, 7.0, 8.0])
 
 
 def _xproc_producer(uid, n, rows, cols, length):

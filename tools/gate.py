@@ -93,8 +93,12 @@ def gate_perf() -> int:
         print(f"[gate] bench.py failed:\n{r.stdout}{r.stderr}",
               file=sys.stderr)
         return 1
-    line = [ln for ln in r.stdout.splitlines() if ln.startswith("{")][-1]
-    sps = float(json.loads(line)["value"])
+    lines = [ln for ln in r.stdout.splitlines() if ln.startswith("{")]
+    if not lines:
+        print(f"[gate] bench.py printed no JSON line:\n{r.stdout}",
+              file=sys.stderr)
+        return 1
+    sps = float(json.loads(lines[-1])["value"])
     ok = sps >= floor
     print(f"[gate] throughput: {sps/1e9:.2f} Gs/s vs floor {floor/1e9:.2f} "
           f"(best recorded {recorded_best_sps()/1e9:.2f} - "

@@ -60,8 +60,10 @@ def main():
     frames = frames.reshape((k,) + fused_frame_shape(s, a, f))
     cf = CArray.from_numpy(frames)
     if args.input == "i16":
-        to16 = lambda v: np.clip(np.round(np.asarray(v) * 32767.0),
-                                 -32767, 32767).astype(np.int16)
+        from ofdm_ls_mrc_tpu.golden.io import SC16_FULL_SCALE
+        to16 = lambda v: np.clip(np.round(np.asarray(v) * SC16_FULL_SCALE),
+                                 -SC16_FULL_SCALE,
+                                 SC16_FULL_SCALE).astype(np.int16)
         cf = CArray(to16(cf.re), to16(cf.im))
     cf = CArray(jax.device_put(cf.re), jax.device_put(cf.im))
 
