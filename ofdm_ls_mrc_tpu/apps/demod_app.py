@@ -67,6 +67,11 @@ def build_parser() -> argparse.ArgumentParser:
     ap.add_argument("--ring-dtype", default="complex64",
                     choices=["complex64", "sc16"],
                     help="shm element format (must match the RX master)")
+    ap.add_argument("--mesh", default=None, metavar="ANTxTIME",
+                    help="demodulate on the SHARDED receiver over an "
+                         "(ant, time) device mesh (antenna-sharded MRC with "
+                         "one fused psum; parallel/sharded.py), e.g. 1x1 on "
+                         "a single chip or 4x2 on a pod slice")
     ap.add_argument("--sc16-native", action="store_true",
                     help="feed the device planar INT16 straight from an sc16 "
                          "ring (half the host and H2D bytes; the fused "
@@ -138,13 +143,29 @@ def main(argv=None) -> int:
     if args.per_symbol:
         return _run_per_symbol(args, cfg, pilot, ring, timer, continuous)
 
-    rx = UplinkReceiver(cfg, pilot, fft_impl=args.fft_impl,
-                        pipeline=args.pipeline,
-                        exact=(args.kernel_precision == "exact"))
+    if args.mesh:
+        import jax as _jax
+
+        from ..parallel import ShardedUplinkReceiver, make_mesh
+        n_ant, n_time = (int(v) for v in args.mesh.lower().split("x"))
+        devs = _jax.devices()
+        if len(devs) < n_ant * n_time:
+            print(f"--mesh {args.mesh} needs {n_ant * n_time} devices, "
+                  f"have {len(devs)}", file=sys.stderr)
+            return 2
+        mesh = make_mesh(n_ant, n_time, devices=devs[:n_ant * n_time])
+        rx = ShardedUplinkReceiver(cfg, pilot, mesh,
+                                   fft_impl=args.fft_impl,
+                                   pipeline=args.pipeline)
+    else:
+        rx = UplinkReceiver(cfg, pilot, fft_impl=args.fft_impl,
+                            pipeline=args.pipeline,
+                            exact=(args.kernel_precision == "exact"))
     # Fused pipeline: place frames in the kernel's [S, A, n1, n2] layout
     # (free host reshape; avoids an on-device re-tiling copy per frame).
+    # The sharded receiver takes [S, A, F] (its shard_map specs own layout).
     device_shape = None
-    if rx.pipeline == "fused":
+    if rx.pipeline == "fused" and not args.mesh:
         from ..ops.pallas_pipeline import fused_frame_shape
         device_shape = fused_frame_shape(cfg.frame_len, cfg.num_antennas,
                                          cfg.fft_size)
@@ -158,7 +179,7 @@ def main(argv=None) -> int:
     # Warm at the EXACT dtype the feed will deliver: int16 planes in
     # sc16-native mode specialize a separate jit entry.
     feed_dtype = np.int16 if args.sc16_native else np.float32
-    if device_shape is not None or args.sc16_native:
+    if device_shape is not None or args.sc16_native or args.mesh:
         from ..ops.cplx import CArray
         shape = device_shape or (cfg.frame_len, cfg.num_antennas,
                                  cfg.fft_size)

@@ -94,10 +94,10 @@ class RingFeed:
         # silently drops symbols on overrun, and one mid-stream drop would
         # permanently shift the consumer's pilot/data slot alignment.  The
         # reader snapshots the ring's dropped counter per frame; on a delta
-        # the just-read frame is still delivered (drops happen at the ring
-        # HEAD, always ahead of the reader) and a resync runs before the
-        # next read: drain the backlog containing the gap, then discard to
-        # the next writer-stream frame boundary (see _resync).
+        # the in-flight frame is discarded (its read may have spanned the
+        # drop instant and straddled the gap) and a resync drains the
+        # backlog containing the gap, then discards to the next
+        # writer-stream frame boundary before re-reading (see _resync).
         self.drop_events = 0
         self.resynced_frames = 0
         self._consumed_symbols = 0
@@ -198,24 +198,24 @@ class RingFeed:
                     self._consumed_symbols += fl
                     dropped_now = getattr(self.ring, "dropped",
                                           self._dropped_seen)
-                    if dropped_now != self._dropped_seen:
-                        # The writer overran the ring.  The ring only drops
-                        # at its HEAD when full, so every dropped symbol's
-                        # stream index is AHEAD of the reader: the frame just
-                        # read is intact and IS delivered; the gap sits at an
-                        # unknown position inside the queued backlog, so the
-                        # NEXT read is preceded by a resync (drain the
-                        # backlog, then discard to a writer-stream frame
-                        # boundary).
-                        import sys
-                        print(f"RingFeed: writer dropped "
-                              f"{dropped_now - self._dropped_seen} symbol(s) "
-                              f"ahead; resyncing before the next frame",
-                              file=sys.stderr)
-                        self._dropped_seen = dropped_now
-                        self.drop_events += 1
-                        self._pending_resync = True
-                    break
+                    if dropped_now == self._dropped_seen:
+                        break
+                    # The writer overran the ring.  Drops happen at the ring
+                    # HEAD -- ahead of the reader -- but a frame whose read
+                    # SPANNED the drop instant can straddle the gap (its
+                    # tail symbols were written after the dropped one), so
+                    # the triggering frame is conservatively discarded (at
+                    # most one possibly-good frame lost), then a resync
+                    # drains the backlog containing the gap and discards to
+                    # the next writer-stream frame boundary before re-reading.
+                    import sys
+                    print(f"RingFeed: writer dropped "
+                          f"{dropped_now - self._dropped_seen} symbol(s); "
+                          f"discarding the in-flight frame and resyncing",
+                          file=sys.stderr)
+                    self._dropped_seen = dropped_now
+                    self.drop_events += 1
+                    self._pending_resync = True
                 self._ready.put(buf)
         except (RingShutdown, RingTimeout) as e:
             self._error = e

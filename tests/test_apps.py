@@ -625,3 +625,48 @@ def test_continuous_sync_file_player_exits_on_reader_shutdown(workdir):
     assert rx.returncode == 0, rx_err + rx_out
     assert "demodulated 3 frame(s)" in dm_out
     assert "continuous sync:" in rx_out
+
+
+def test_demod_app_sharded_mesh(workdir):
+    """--mesh 2x2: the sharded receiver (antenna-sharded MRC + fused psum)
+    reachable from the app surface, on the virtual CPU mesh."""
+    cap = str(workdir / "capture.dat")
+    sent = str(workdir / "sent.dat")
+    out = str(workdir / "Output_tpu.dat")
+    uid = f"/ofdm_app_{uuid.uuid4().hex[:8]}"
+    common = ["--antennas", str(A), "--fft-size", str(F),
+              "--cp-size", str(CP), "--frame-len", str(S)]
+    env = {**ENV_BASE,
+           "XLA_FLAGS": ENV_BASE.get("XLA_FLAGS", "")
+           + " --xla_force_host_platform_device_count=4"}
+    r = run(["ofdm_ls_mrc_tpu.apps.tx_app", "--out", cap, "--data-out", sent,
+             "--pn-preamble", "--snr", "35", "--channel-taps", "4",
+             "--pilots", str(workdir / "none.dat"),
+             "--pn-file", str(workdir / "none.dat")] + common
+            + ["--num-frames", "1"])
+    assert r.returncode == 0, r.stderr
+
+    rx = subprocess.Popen(
+        [sys.executable, "-m", "ofdm_ls_mrc_tpu.apps.rx_app", "--file", cap,
+         "--shm-uid", uid, "--thres", "0.05", "--wait-writes",
+         "--pn-file", str(workdir / "none.dat"),
+         "--num-frames", "1"] + common,
+        cwd=REPO, env=env, stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+        text=True)
+    dm = subprocess.Popen(
+        [sys.executable, "-m", "ofdm_ls_mrc_tpu.apps.demod_app",
+         "--shm-uid", uid, "--output", out, "--num-frames", "1",
+         "--mesh", "2x2", "--pipeline", "fast", "--no-timer",
+         "--pilots", str(workdir / "none.dat")] + common,
+        cwd=REPO, env=env, stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+        text=True)
+    rx_out, rx_err = rx.communicate(timeout=300)
+    dm_out, dm_err = dm.communicate(timeout=300)
+    assert rx.returncode == 0, rx_err + rx_out
+    assert dm.returncode == 0, dm_err + dm_out
+
+    got = np.fromfile(out, dtype=np.complex64).reshape(S - 1, F - 1)
+    want = np.fromfile(sent, dtype=np.complex64).reshape(S - 1, F - 1)
+    evm = 10 * np.log10(np.mean(np.abs(np.fft.fftshift(got, axes=-1) - want) ** 2)
+                        / np.mean(np.abs(want) ** 2))
+    assert evm < -25.0, f"EVM {evm:.1f} dB"

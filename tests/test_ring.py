@@ -426,11 +426,11 @@ class _ScriptedRing:
 
 
 class TestDropResync:
-    def test_drop_ahead_delivers_intact_frame_then_resyncs(self):
-        """Ring drops land at the HEAD, ahead of the reader: the frame being
-        read when the counter steps is intact and must be DELIVERED; the
-        resync then discards to the writer-stream boundary so post-gap
-        frames realign instead of silently decoding a shifted stream."""
+    def test_drop_discards_in_flight_frame_then_resyncs(self):
+        """On a counter delta the in-flight frame is conservatively
+        discarded (its read may have straddled the gap) and the resync
+        discards to the writer-stream boundary so post-gap frames realign
+        instead of silently decoding a shifted stream."""
         from ofdm_ls_mrc_tpu import FrameConfig
         from ofdm_ls_mrc_tpu.io.feed import RingFeed
 
@@ -438,21 +438,20 @@ class TestDropResync:
                           frame_len=3)
         # Writer frames [0,1,2][3,4,5][6,7,8][9,10,11]; symbol 4 drops on
         # overrun while the reader is inside frame 0 (counter steps at the
-        # read of idx 1).  Nothing is queued when the resync runs, so the
-        # boundary discard consumes 3 and 5 (consumed=3 + dropped=1 -> 2
-        # symbols to the next boundary).
+        # read of idx 1).  Frame [0,1,2] is discarded; nothing is queued
+        # when the resync runs, so the boundary discard consumes 3 and 5
+        # (consumed=3 + dropped=1 -> 2 symbols to the next boundary).
         stream = [(0, 0), (1, 1), (2, 1),
                   (3, 1), (5, 1),
                   (6, 1), (7, 1), (8, 1),
                   (9, 1), (10, 1), (11, 1)]
         feed = RingFeed(_ScriptedRing(ROWS, COLS, stream), cfg)
-        frames = [np.asarray(f.re)[:, 0, 0] for f in feed.frames(max_frames=3)]
+        frames = [np.asarray(f.re)[:, 0, 0] for f in feed.frames(max_frames=2)]
         feed.stop()
         assert feed.drop_events == 1
         assert feed.resynced_frames == 1
-        np.testing.assert_array_equal(frames[0], [0.0, 1.0, 2.0])  # intact
-        np.testing.assert_array_equal(frames[1], [6.0, 7.0, 8.0])  # realigned
-        np.testing.assert_array_equal(frames[2], [9.0, 10.0, 11.0])
+        np.testing.assert_array_equal(frames[0], [6.0, 7.0, 8.0])  # realigned
+        np.testing.assert_array_equal(frames[1], [9.0, 10.0, 11.0])
 
     def test_resync_drains_queued_backlog_first(self):
         """The gap sits INSIDE the queued backlog; the resync must drain it
@@ -463,23 +462,23 @@ class TestDropResync:
 
         cfg = FrameConfig(num_antennas=ROWS, fft_size=COLS, cyclic_prefix=0,
                           frame_len=3)
-        # After frame [0,1,2] is read (counter already at 1 from a drop of
-        # idx 7), symbols 3,4,5,6,8 are queued: the drain consumes them,
+        # Frame [0,1,2] triggers (counter at 1 from a drop of idx 7) and is
+        # discarded; symbols 3,4,5,6,8 are queued: the drain consumes them,
         # leaving consumed=8, dropped=1 -> boundary at (8+1)%3=0, so frame
         # [9,10,11] follows immediately.
         stream = [(0, 0), (1, 1), (2, 1),
                   (3, 1), (4, 1), (5, 1), (6, 1), (8, 1),
                   (9, 1), (10, 1), (11, 1)]
         feed = RingFeed(_ScriptedRing(ROWS, COLS, stream, queued=8), cfg)
-        frames = [np.asarray(f.re)[:, 0, 0] for f in feed.frames(max_frames=2)]
+        frames = [np.asarray(f.re)[:, 0, 0] for f in feed.frames(max_frames=1)]
         feed.stop()
         assert feed.drop_events == 1
-        np.testing.assert_array_equal(frames[0], [0.0, 1.0, 2.0])
-        np.testing.assert_array_equal(frames[1], [9.0, 10.0, 11.0])
+        np.testing.assert_array_equal(frames[0], [9.0, 10.0, 11.0])
 
-    def test_whole_frame_drop_realigns_without_discard(self):
+    def test_whole_frame_drop_realigns_without_extra_discard(self):
         """Drops in whole-frame multiples keep alignment: after the drain
-        the boundary discard is zero symbols and nothing else is lost."""
+        the boundary discard is zero symbols, so only the triggering frame
+        is lost and the next frame is delivered as-is."""
         from ofdm_ls_mrc_tpu import FrameConfig
         from ofdm_ls_mrc_tpu.io.feed import RingFeed
 
@@ -488,11 +487,10 @@ class TestDropResync:
         stream = [(0, 0), (1, 0), (2, 3),      # frame 1 (idx 3-5) dropped
                   (6, 3), (7, 3), (8, 3)]
         feed = RingFeed(_ScriptedRing(ROWS, COLS, stream), cfg)
-        frames = [np.asarray(f.re)[:, 0, 0] for f in feed.frames(max_frames=2)]
+        frames = [np.asarray(f.re)[:, 0, 0] for f in feed.frames(max_frames=1)]
         feed.stop()
         assert feed.drop_events == 1
-        np.testing.assert_array_equal(frames[0], [0.0, 1.0, 2.0])
-        np.testing.assert_array_equal(frames[1], [6.0, 7.0, 8.0])
+        np.testing.assert_array_equal(frames[0], [6.0, 7.0, 8.0])
 
 
 def _xproc_producer(uid, n, rows, cols, length):
@@ -545,3 +543,67 @@ class TestSc16NativeRead:
         _, r = pair
         with pytest.raises(RingError):
             r.read_frame_planar_i16(1)
+
+
+def test_real_ring_overrun_recovery(rng):
+    """Property test against the REAL ring: a no-wait writer overruns a
+    small ring while the reader is stalled; every frame the feed delivers
+    afterwards must be writer-frame aligned (first symbol index % fl == 0,
+    contiguous within the frame)."""
+    from ofdm_ls_mrc_tpu import FrameConfig
+    from ofdm_ls_mrc_tpu.io.feed import RingFeed
+
+    fl = 3
+    cfg = FrameConfig(num_antennas=ROWS, fft_size=COLS, cyclic_prefix=0,
+                      frame_len=fl)
+    uid = _uid()
+    cap = 4  # NOT a frame multiple: drops won't be frame-aligned
+    w = SymbolRing(uid, ROWS, COLS, cap, master=True, timeout=10.0)
+    r = SymbolRing(uid, ROWS, COLS, cap, master=False, timeout=10.0)
+
+    def sym(idx):
+        return np.full((ROWS, COLS), float(idx) + 1j, np.complex64)
+
+    try:
+        # Frame 0 written with backpressure; the feed consumes it first so
+        # the overrun happens while the feed is LIVE (its drop baseline is
+        # snapshotted at stream start).
+        idx = 0
+        for _ in range(fl):
+            w.write(sym(idx), wait=True)
+            idx += 1
+        feed = RingFeed(r, cfg)
+        gen = feed.frames(max_frames=4)
+        first = next(gen)
+        np.testing.assert_array_equal(np.asarray(first.re)[:, 0, 0], [0, 1, 2])
+        # Burst 8 frames without waiting: capacity 4 forces mid-stream drops
+        # at arbitrary (non-frame-aligned) positions.
+        for _ in range(8 * fl):
+            w.write(sym(idx), wait=False)
+            idx += 1
+        assert w.dropped > 0
+        # Writer then trickles with backpressure so the reader can finish.
+        stop = threading.Event()
+
+        def trickle():
+            i = idx
+            while not stop.is_set():
+                try:
+                    w.write(sym(i), wait=True, timeout=0.2)
+                    i += 1
+                except Exception:
+                    continue
+
+        t = threading.Thread(target=trickle, daemon=True)
+        t.start()
+        delivered = [np.asarray(f.re)[:, 0, 0] for f in gen]
+        feed.stop()
+        stop.set()
+        t.join(timeout=5)
+        assert feed.drop_events >= 1
+        for fr in delivered:
+            assert fr[0] % fl == 0, f"misaligned frame {fr}"
+            np.testing.assert_array_equal(fr, fr[0] + np.arange(fl))
+    finally:
+        r.close()
+        w.close()
