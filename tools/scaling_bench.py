@@ -94,6 +94,14 @@ def main():
             continue
         t = bench_sharded(cfg, pilot, frames, args.reps, (n, 1),
                           pipeline=args.pipeline, r_hi=r_hi)
+        if t < 1e-9:
+            # The R-vs-1 difference came out non-positive (measurement noise
+            # exceeded the work at this r_hi); report it instead of an
+            # absurd throughput.
+            print(f"ant={n:2d}  measurement unreliable at r_hi={r_hi} "
+                  f"(non-positive R-loop delta); re-run with a higher "
+                  f"--r-hi", flush=True)
+            continue
         if t1 is None:
             t1 = t
         eff = t1 / (n * t)
