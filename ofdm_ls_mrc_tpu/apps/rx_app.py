@@ -124,8 +124,8 @@ def main(argv=None) -> int:
     # here the selected channels become the capture rows used.
     chan_ids = parse_channels(args.channels, samples.shape[0])
     n_ch = len(chan_ids)
-    log_channel_config("RX", chan_ids,
-                       per_channel(args.rate, n_ch, "--rate"),
+    rates = per_channel(args.rate, n_ch, "--rate")
+    log_channel_config("RX", chan_ids, rates,
                        per_channel(args.freq, n_ch, "--freq"),
                        per_channel(args.gain, n_ch, "--gain"),
                        per_channel(args.bw, n_ch, "--bw"), args.ant)
@@ -167,11 +167,25 @@ def main(argv=None) -> int:
         return 1
     continuous = args.num_frames <= 0
 
+    # Live file-player pacing: a radio delivers samples at --rate, so the
+    # continuous no-wait mode (which drops on overrun like live RX) writes
+    # one frame per frame-period instead of cycling at host speed -- an
+    # unthrottled producer overruns ANY consumer by construction.
+    import time as _time
+    pace = continuous and not args.wait_writes and rates[0] > 0
+    frame_period = frame_samps / rates[0] if pace else 0.0
+    next_t = _time.perf_counter()
+
     wrote = 0
     frames_sent = 0
     try:
         f = 0
         while continuous or f < args.num_frames:
+            if pace:
+                next_t += frame_period
+                delay = next_t - _time.perf_counter()
+                if delay > 0:
+                    _time.sleep(delay)
             base = start + (f % avail_frames if continuous else f) * frame_samps
             if not continuous and base + frame_samps > samples.shape[1]:
                 print(f"capture exhausted after {f} frame(s)")
@@ -269,11 +283,23 @@ def _run_continuous_sync(args, samples: np.ndarray, sym_len: int,
 
     continuous = args.num_frames <= 0
     buf_len = max(args.frame_size, 1)
+    # Continuous no-wait mode paces receive buffers to --rate (see the
+    # file-player loop: an unthrottled producer overruns by construction).
+    import time as _time
+    rate0 = float(str(args.rate).split(",")[0])
+    pace = continuous and not args.wait_writes and rate0 > 0
+    buf_period = buf_len / rate0 if pace else 0.0
+    next_t = _time.perf_counter()
     n_total = samples.shape[1]
     pos = 0
     sent = 0
     try:
         while (continuous or sent < args.num_frames) and state["err"] is None:
+            if pace:
+                next_t += buf_period
+                delay = next_t - _time.perf_counter()
+                if delay > 0:
+                    _time.sleep(delay)
             if pos >= n_total:
                 if not continuous:
                     for fr in sync.flush():

@@ -100,8 +100,10 @@ class RingFeed:
         # writer-stream frame boundary before re-reading (see _resync).
         self.drop_events = 0
         self.resynced_frames = 0
+        self.dirty_frames = 0
         self._consumed_symbols = 0
         self._pending_resync = False
+        self._just_resynced = False
         # Optional consumer-preferred on-device shape for each frame plane
         # (e.g. the fused kernel's [S, A, n1, n2]): reshaping the contiguous
         # host buffer BEFORE device_put is free, while reshaping on-device
@@ -150,6 +152,7 @@ class RingFeed:
                 self._dropped_seen = now
                 break
         self._pending_resync = False
+        self._just_resynced = True
         self.resynced_frames += 1
 
     def _read_loop(self) -> None:
@@ -199,6 +202,7 @@ class RingFeed:
                     dropped_now = getattr(self.ring, "dropped",
                                           self._dropped_seen)
                     if dropped_now == self._dropped_seen:
+                        self._just_resynced = False
                         break
                     # The writer overran the ring.  Drops happen at the ring
                     # HEAD -- ahead of the reader -- but a frame whose read
@@ -208,13 +212,25 @@ class RingFeed:
                     # most one possibly-good frame lost), then a resync
                     # drains the backlog containing the gap and discards to
                     # the next writer-stream frame boundary before re-reading.
+                    #
+                    # EXCEPT under sustained overrun (drops landed again on
+                    # the very first frame after a resync): the producer is
+                    # systematically faster than the consumer, and repeating
+                    # discard+resync would livelock with zero delivered
+                    # frames.  Deliver best-effort frames instead (counted
+                    # in ``dirty_frames``); clean recovery resumes as soon
+                    # as a post-resync frame reads without new drops.
                     import sys
-                    print(f"RingFeed: writer dropped "
-                          f"{dropped_now - self._dropped_seen} symbol(s); "
-                          f"discarding the in-flight frame and resyncing",
-                          file=sys.stderr)
+                    n_new = dropped_now - self._dropped_seen
                     self._dropped_seen = dropped_now
                     self.drop_events += 1
+                    if self._just_resynced:
+                        self.dirty_frames += 1
+                        self._pending_resync = True
+                        break   # deliver best-effort
+                    print(f"RingFeed: writer dropped {n_new} symbol(s); "
+                          f"discarding the in-flight frame and resyncing",
+                          file=sys.stderr)
                     self._pending_resync = True
                 self._ready.put(buf)
         except (RingShutdown, RingTimeout) as e:

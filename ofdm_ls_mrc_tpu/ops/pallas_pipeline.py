@@ -227,12 +227,21 @@ def _kernel(yre_ref, yim_ref, hre_ref, him_ref, hsqinv_ref,
     him = him_ref[:][None]
     inv = hsqinv_ref[:][None]
 
-    def load(lo):
-        # astype is a no-op for f32 inputs; for int16/bf16 inputs (half the
-        # HBM->VMEM bytes) it is the in-VMEM widening convert, with the
-        # sample scale folded into the (linear) twiddle constants.
-        return (yre_ref[lo:lo + 1].astype(jnp.float32).reshape(a, n1, n2),
-                yim_ref[lo:lo + 1].astype(jnp.float32).reshape(a, n1, n2))
+    if yre_ref.dtype == jnp.float32:
+        def load(lo):
+            return (yre_ref[lo:lo + 1].reshape(a, n1, n2),
+                    yim_ref[lo:lo + 1].reshape(a, n1, n2))
+    else:
+        # int16/bf16 inputs (half the HBM->VMEM bytes): ONE whole-tile
+        # widening convert per grid step -- per-symbol slice-converts of
+        # int16 refs sent Mosaic's compile time through the roof -- with
+        # the sample scale folded into the (linear) twiddle constants.
+        yre_all = yre_ref[:].astype(jnp.float32)
+        yim_all = yim_ref[:].astype(jnp.float32)
+
+        def load(lo):
+            return (yre_all[lo:lo + 1].reshape(a, n1, n2),
+                    yim_all[lo:lo + 1].reshape(a, n1, n2))
 
     def s1_finish(ar, ai):
         return ((ar * twre - ai * twim).reshape(a * n1, n2),

@@ -607,3 +607,23 @@ def test_real_ring_overrun_recovery(rng):
     finally:
         r.close()
         w.close()
+
+
+def test_sustained_overrun_does_not_livelock():
+    """When drops land on EVERY frame (producer systematically faster), the
+    feed must deliver best-effort frames (counted dirty) instead of
+    livelocking in a discard/resync loop with zero output."""
+    from ofdm_ls_mrc_tpu import FrameConfig
+    from ofdm_ls_mrc_tpu.io.feed import RingFeed
+
+    fl = 3
+    cfg = FrameConfig(num_antennas=ROWS, fft_size=COLS, cyclic_prefix=0,
+                      frame_len=fl)
+    # Counter increments at every 3rd read: every frame sees a fresh delta.
+    stream = [(i, 1 + i // fl) for i in range(60)]
+    feed = RingFeed(_ScriptedRing(ROWS, COLS, stream), cfg)
+    frames = [np.asarray(f.re)[:, 0, 0] for f in feed.frames(max_frames=2)]
+    feed.stop()
+    assert len(frames) == 2, "feed livelocked under sustained overrun"
+    assert feed.dirty_frames >= 1
+    assert feed.drop_events >= 2
