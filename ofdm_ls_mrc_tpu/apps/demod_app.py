@@ -116,6 +116,20 @@ def main(argv=None) -> int:
 
     pilot = load_pilot(args.pilots, cfg.num_subcarriers)
 
+    if args.mesh:
+        if args.per_symbol:
+            print("--mesh is a whole-frame mode (not --per-symbol)",
+                  file=sys.stderr)
+            return 2
+        try:
+            n_ant, n_time = (int(v) for v in args.mesh.lower().split("x"))
+            if n_ant < 1 or n_time < 1:
+                raise ValueError
+        except ValueError:
+            print(f"--mesh {args.mesh!r}: expected ANTxTIME, e.g. 1x1 or 4x2",
+                  file=sys.stderr)
+            return 2
+
     if args.sc16_native:
         if args.ring_dtype != "sc16":
             print("--sc16-native requires --ring-dtype sc16", file=sys.stderr)
@@ -143,11 +157,11 @@ def main(argv=None) -> int:
     if args.per_symbol:
         return _run_per_symbol(args, cfg, pilot, ring, timer, continuous)
 
+    mesh = None
     if args.mesh:
         import jax as _jax
 
         from ..parallel import ShardedUplinkReceiver, make_mesh
-        n_ant, n_time = (int(v) for v in args.mesh.lower().split("x"))
         devs = _jax.devices()
         if len(devs) < n_ant * n_time:
             print(f"--mesh {args.mesh} needs {n_ant * n_time} devices, "
@@ -156,7 +170,8 @@ def main(argv=None) -> int:
         mesh = make_mesh(n_ant, n_time, devices=devs[:n_ant * n_time])
         rx = ShardedUplinkReceiver(cfg, pilot, mesh,
                                    fft_impl=args.fft_impl,
-                                   pipeline=args.pipeline)
+                                   pipeline=args.pipeline,
+                                   exact=(args.kernel_precision == "exact"))
     else:
         rx = UplinkReceiver(cfg, pilot, fft_impl=args.fft_impl,
                             pipeline=args.pipeline,
@@ -169,8 +184,25 @@ def main(argv=None) -> int:
         from ..ops.pallas_pipeline import fused_frame_shape
         device_shape = fused_frame_shape(cfg.frame_len, cfg.num_antennas,
                                          cfg.fft_size)
+    put_fn = None
+    if mesh is not None:
+        # Mesh-sharded placement: antennas land on their shards at
+        # device_put time so the jitted shard_map needn't reshard every
+        # frame (exact for time_shards=1; partial alignment otherwise).
+        import jax as _jax
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from ..ops.cplx import CArray as _CArray
+        from ..parallel.mesh import ANT_AXIS
+        sh = NamedSharding(mesh, P(None, ANT_AXIS, None))
+
+        def put_fn(re_h, im_h):
+            return _CArray(_jax.device_put(re_h, sh),
+                           _jax.device_put(im_h, sh))
+
     feed = _make_feed(ring, cfg, args.cp_size, timer, catch_up=args.catch_up,
-                      device_shape=device_shape, int16=args.sc16_native)
+                      device_shape=device_shape, int16=args.sc16_native,
+                      put_fn=put_fn)
 
     import jax
 
@@ -274,7 +306,9 @@ def main(argv=None) -> int:
     print(f"demodulated {n} frame(s) -> {args.output}")
     if feed.drop_events:
         print(f"writer overruns: {feed.drop_events} event(s), "
-              f"{feed.resynced_frames} boundary resync(s)",
+              f"{feed.resynced_frames} boundary resync(s), "
+              f"{feed.dirty_frames} BEST-EFFORT (possibly misaligned) "
+              f"frame(s) delivered under sustained pressure",
               file=sys.stderr)
 
     if timer:
@@ -364,7 +398,7 @@ def _run_per_symbol(args, cfg, pilot, ring, timer, continuous) -> int:
 
 
 def _make_feed(ring, cfg, cp_size, timer, catch_up=False, device_shape=None,
-               int16=False):
+               int16=False, put_fn=None):
     """RingFeed wired for a CP-carrying ring feeding a CP-free pipeline."""
     from ..io.feed import RingFeed
 
@@ -404,7 +438,8 @@ def _make_feed(ring, cfg, cp_size, timer, catch_up=False, device_shape=None,
             self._ring.shutdown()
 
     return RingFeed(_CpRingView(ring, cp_size), cfg, timer=timer,
-                    catch_up=catch_up, device_shape=device_shape, int16=int16)
+                    catch_up=catch_up, device_shape=device_shape, int16=int16,
+                    put_fn=put_fn)
 
 
 if __name__ == "__main__":

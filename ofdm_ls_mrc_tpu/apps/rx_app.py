@@ -92,6 +92,23 @@ def build_parser() -> argparse.ArgumentParser:
     return ap
 
 
+def _make_pacer(period: float):
+    """Absolute-deadline pacer: one call per emitted unit, drift-free.
+    A radio delivers samples at --rate; an unthrottled file-player overruns
+    ANY consumer by construction, so the live no-wait modes pace writes."""
+    if period <= 0:
+        return lambda: None
+    import time as _time
+    state = {"next": _time.perf_counter()}
+
+    def tick():
+        state["next"] += period
+        delay = state["next"] - _time.perf_counter()
+        if delay > 0:
+            _time.sleep(delay)
+    return tick
+
+
 def load_capture(path: str, antennas: int, fmt: str = "cf32") -> np.ndarray:
     if fmt == "sc16":
         from ..golden.io import sc16_to_complex
@@ -135,7 +152,7 @@ def main(argv=None) -> int:
 
     if args.continuous_sync:
         return _run_continuous_sync(args, samples, sym_len, frame_samps,
-                                    chan_ids)
+                                    chan_ids, rates[0])
 
     # Frame synchronization: slide the PN correlator over antenna 0 (the
     # reference scans channels in order and stops at the first hit,
@@ -167,25 +184,16 @@ def main(argv=None) -> int:
         return 1
     continuous = args.num_frames <= 0
 
-    # Live file-player pacing: a radio delivers samples at --rate, so the
-    # continuous no-wait mode (which drops on overrun like live RX) writes
-    # one frame per frame-period instead of cycling at host speed -- an
-    # unthrottled producer overruns ANY consumer by construction.
-    import time as _time
-    pace = continuous and not args.wait_writes and rates[0] > 0
-    frame_period = frame_samps / rates[0] if pace else 0.0
-    next_t = _time.perf_counter()
+    pace = _make_pacer(frame_samps / rates[0]
+                       if (continuous and not args.wait_writes
+                           and rates[0] > 0) else 0.0)
 
     wrote = 0
     frames_sent = 0
     try:
         f = 0
         while continuous or f < args.num_frames:
-            if pace:
-                next_t += frame_period
-                delay = next_t - _time.perf_counter()
-                if delay > 0:
-                    _time.sleep(delay)
+            pace()
             base = start + (f % avail_frames if continuous else f) * frame_samps
             if not continuous and base + frame_samps > samples.shape[1]:
                 print(f"capture exhausted after {f} frame(s)")
@@ -224,7 +232,8 @@ def main(argv=None) -> int:
 
 
 def _run_continuous_sync(args, samples: np.ndarray, sym_len: int,
-                         frame_samps: int, chan_ids=None) -> int:
+                         frame_samps: int, chan_ids=None,
+                         rate0: float = 0.0) -> int:
     """Rolling receive loop: chunk the capture into receive buffers, push
     each through the StreamSynchronizer (correlating every buffer, stitching
     frames across buffer boundaries, re-acquiring after slips), and write
@@ -283,23 +292,17 @@ def _run_continuous_sync(args, samples: np.ndarray, sym_len: int,
 
     continuous = args.num_frames <= 0
     buf_len = max(args.frame_size, 1)
-    # Continuous no-wait mode paces receive buffers to --rate (see the
-    # file-player loop: an unthrottled producer overruns by construction).
-    import time as _time
-    rate0 = float(str(args.rate).split(",")[0])
-    pace = continuous and not args.wait_writes and rate0 > 0
-    buf_period = buf_len / rate0 if pace else 0.0
-    next_t = _time.perf_counter()
+    # Continuous no-wait mode paces receive buffers to --rate, like the
+    # file-player loop.
+    pace = _make_pacer(buf_len / rate0
+                       if (continuous and not args.wait_writes and rate0 > 0)
+                       else 0.0)
     n_total = samples.shape[1]
     pos = 0
     sent = 0
     try:
         while (continuous or sent < args.num_frames) and state["err"] is None:
-            if pace:
-                next_t += buf_period
-                delay = next_t - _time.perf_counter()
-                if delay > 0:
-                    _time.sleep(delay)
+            pace()
             if pos >= n_total:
                 if not continuous:
                     for fr in sync.flush():

@@ -74,7 +74,7 @@ class RingFeed:
     def __init__(self, ring: SymbolRing, cfg: FrameConfig,
                  timer: Optional[PhaseTimer] = None, depth: int = 2,
                  catch_up: bool = False, device_shape=None,
-                 int16: bool = False):
+                 int16: bool = False, put_fn=None):
         if ring.cols != cfg.symbol_len:
             raise ValueError(f"ring cols {ring.cols} != symbol_len {cfg.symbol_len}")
         if ring.rows != cfg.num_antennas:
@@ -109,6 +109,10 @@ class RingFeed:
         # host buffer BEFORE device_put is free, while reshaping on-device
         # costs a full layout re-tiling copy under TPU tiled layouts.
         self.device_shape = tuple(device_shape) if device_shape else None
+        # Optional custom device placement (host re/im planes -> CArray),
+        # e.g. mesh-sharded device_put for a sharded consumer so the jitted
+        # shard_map needn't reshard every frame.
+        self.put_fn = put_fn
         # sc16-native mode: frames flow as planar int16 end to end (ring
         # copy-out -> host buffer -> H2D -> in-kernel widen); requires the
         # ring's sc16 batch read, which the per-symbol timer path lacks.
@@ -137,7 +141,7 @@ class RingFeed:
         symbols consumed + symbols dropped; the writer emits aligned frames
         from index 0).  Loses at most ring-capacity + frame_len symbols and
         repeats if further drops land while resyncing."""
-        while True:
+        for _ in range(3):   # bounded: fresh drops can land on EVERY pass
             drained = self.ring.skip(self.ring.available)
             self._consumed_symbols += drained
             dropped = getattr(self.ring, "dropped", self._dropped_seen)
@@ -149,8 +153,11 @@ class RingFeed:
                 self._consumed_symbols += 1
             now = getattr(self.ring, "dropped", dropped)
             if now == dropped:
-                self._dropped_seen = now
                 break
+        # On give-up (drops every pass: producer faster than even our
+        # discard reads), fall through -- the read loop's best-effort path
+        # delivers frames instead of spinning here forever.
+        self._dropped_seen = getattr(self.ring, "dropped", self._dropped_seen)
         self._pending_resync = False
         self._just_resynced = True
         self.resynced_frames += 1
@@ -226,6 +233,11 @@ class RingFeed:
                     self.drop_events += 1
                     if self._just_resynced:
                         self.dirty_frames += 1
+                        if self.dirty_frames == 1:
+                            print("RingFeed: sustained overrun -- delivering "
+                                  "BEST-EFFORT (possibly misaligned) frames; "
+                                  "see the dirty-frame count in the summary",
+                                  file=sys.stderr)
                         self._pending_resync = True
                         break   # deliver best-effort
                     print(f"RingFeed: writer dropped {n_new} symbol(s); "
@@ -261,7 +273,9 @@ class RingFeed:
                 if self.device_shape is not None:
                     re_h = re_h.reshape(self.device_shape)
                     im_h = im_h.reshape(self.device_shape)
-                if jax.default_backend() == "cpu":
+                if self.put_fn is not None:
+                    frame = self.put_fn(re_h, im_h)
+                elif jax.default_backend() == "cpu":
                     import jax.numpy as jnp
                     frame = CArray(jnp.array(re_h), jnp.array(im_h))
                 else:

@@ -89,7 +89,7 @@ def _sharded_demod_local_fast(pilot: CArray, data: CArray, x_perm: CArray,
 
 
 def _sharded_demod_local_fused(pilot: CArray, data: CArray, x_perm: CArray,
-                               *, cp: int) -> CArray:
+                               *, cp: int, exact: bool = True) -> CArray:
     """Fused-kernel shard body: the whole-pipeline Pallas kernel runs per
     antenna shard with normalization deferred (hsqinv = 1) so the MRC
     numerator and the local |H|^2 ride ONE fused psum over ``ant``; the
@@ -114,7 +114,8 @@ def _sharded_demod_local_fused(pilot: CArray, data: CArray, x_perm: CArray,
 
     y = drop_cyclic_prefix(data, cp)
     ones = jnp.ones(y.shape[-1], jnp.float32)
-    num_local = pallas_pipeline.fused_pipeline(y, hre, him, ones)  # kernel order
+    num_local = pallas_pipeline.fused_pipeline(y, hre, him, ones,
+                                               exact=exact)  # kernel order
 
     num_re, num_im, hsqrd = jax.lax.psum(
         (num_local.re, num_local.im, hsq_local), ANT_AXIS)
@@ -141,7 +142,8 @@ class ShardedUplinkReceiver:
     """
 
     def __init__(self, cfg: FrameConfig, pilot_x: np.ndarray, mesh: Mesh,
-                 fft_impl: Optional[str] = None, pipeline: Optional[str] = None):
+                 fft_impl: Optional[str] = None, pipeline: Optional[str] = None,
+                 exact: bool = True):
         # Default shard body, decided on hardware data (r2, 16x1024x101 on
         # the v5e 1x1 mesh): fused 23.3 Gs/s/chip vs fast 21.1 -- the Pallas
         # kernel wins under shard_map too, so TPU defaults to 'fused'.  CPU
@@ -173,9 +175,10 @@ class ShardedUplinkReceiver:
             from ..ops.pallas_pipeline import supports_fused
             if not supports_fused(cfg.fft_size):
                 pipeline = self.pipeline = "fast"
+        self.exact = exact
         if pipeline == "fused":
             body = functools.partial(_sharded_demod_local_fused,
-                                     cp=cfg.cyclic_prefix)
+                                     cp=cfg.cyclic_prefix, exact=exact)
         elif pipeline == "fast":
             body = functools.partial(_sharded_demod_local_fast,
                                      cp=cfg.cyclic_prefix)

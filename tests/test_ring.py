@@ -601,9 +601,16 @@ def test_real_ring_overrun_recovery(rng):
         stop.set()
         t.join(timeout=5)
         assert feed.drop_events >= 1
-        for fr in delivered:
-            assert fr[0] % fl == 0, f"misaligned frame {fr}"
-            np.testing.assert_array_equal(fr, fr[0] + np.arange(fl))
+        # The sustained-overrun path may deliberately deliver best-effort
+        # (possibly misaligned) frames -- every OTHER frame must be
+        # writer-aligned and contiguous, and dirty deliveries are bounded
+        # by the dirty counter.
+        misaligned = sum(
+            1 for fr in delivered
+            if fr[0] % fl != 0 or not np.array_equal(fr, fr[0] + np.arange(fl)))
+        assert misaligned <= feed.dirty_frames, (
+            f"{misaligned} misaligned frames but only {feed.dirty_frames} "
+            f"counted dirty")
     finally:
         r.close()
         w.close()
