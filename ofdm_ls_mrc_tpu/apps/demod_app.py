@@ -176,6 +176,14 @@ def main(argv=None) -> int:
         rx = UplinkReceiver(cfg, pilot, fft_impl=args.fft_impl,
                             pipeline=args.pipeline,
                             exact=(args.kernel_precision == "exact"))
+    if args.sc16_native and rx.pipeline != "fused":
+        # The receiver downgraded (no (2^k, 128) split for this FFT size):
+        # int16 planes must not flow into the XLA fastpath, which only
+        # handles them by accident of scale cancellation.
+        print(f"--sc16-native requires the fused kernel, but fft_size="
+              f"{args.fft_size} has no (2^k, 128) split (pipeline fell back "
+              f"to {rx.pipeline!r})", file=sys.stderr)
+        return 2
     # Fused pipeline: place frames in the kernel's [S, A, n1, n2] layout
     # (free host reshape; avoids an on-device re-tiling copy per frame).
     # The sharded receiver takes [S, A, F] (its shard_map specs own layout).

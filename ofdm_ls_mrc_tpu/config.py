@@ -51,10 +51,21 @@ class FrameConfig:
         return self.frame_len * self.symbol_len
 
     def validate(self) -> "FrameConfig":
+        """Checks the constraints EVERY pipeline shares.  fft_size: the
+        composed/fast paths factor it as (n1, n2) with n2 = 128 when
+        divisible, else a near-square even split -- any even size >= 2
+        works.  The FUSED Pallas kernel additionally needs the fast split to
+        be (power-of-two >= 2, multiple of 128), i.e. fft_size = 2^k * 128
+        with k >= 1; receivers asked for 'fused' on other sizes fall back to
+        'fast' with a RuntimeWarning (pallas_pipeline.warn_fused_fallback)."""
         if self.num_antennas < 1:
             raise ValueError("num_antennas must be >= 1")
         if self.fft_size < 2 or self.fft_size & 1:
-            raise ValueError("fft_size must be an even power-of-two-ish size >= 2")
+            raise ValueError(
+                f"fft_size must be an even size >= 2 (got {self.fft_size}); "
+                "the composed/fast pipelines factor it into a near-square "
+                "or (N/128, 128) split -- note the fused kernel further "
+                "requires 2^k * 128 (see pallas_pipeline.supports_fused)")
         if self.cyclic_prefix < 0:
             raise ValueError("cyclic_prefix must be >= 0")
         if self.frame_len < 2:

@@ -106,9 +106,14 @@ SC16_FULL_SCALE = 32767.0
 # Cumulative count of component samples clipped by complex_to_sc16 (an
 # over-full-scale capture written to an sc16 ring is otherwise distorted with
 # no trace).  Read it via sc16_clipped_samples(); a one-time warning fires on
-# the first clipping call.
+# the first clipping call.  The counters are guarded by a lock:
+# complex_to_sc16 runs on rx_app's continuous-sync writer thread
+# concurrently with main-thread callers.
+import threading as _threading
+
 _sc16_clipped = 0
 _sc16_warned = False
+_sc16_lock = _threading.Lock()
 
 
 def sc16_clipped_samples() -> int:
@@ -132,9 +137,11 @@ def complex_to_sc16(c: np.ndarray) -> np.ndarray:
     # this per symbol): the full clip count runs only when something clips.
     if np.max(np.abs(scaled), initial=0.0) > SC16_FULL_SCALE:
         n_clip = int(np.count_nonzero(np.abs(scaled) > SC16_FULL_SCALE))
-        _sc16_clipped += n_clip
-        if not _sc16_warned:
+        with _sc16_lock:
+            _sc16_clipped += n_clip
+            warn_now = not _sc16_warned
             _sc16_warned = True
+        if warn_now:
             import warnings
             warnings.warn(
                 f"complex_to_sc16: {n_clip} sample component(s) beyond "

@@ -97,8 +97,17 @@ class StreamingDemodulator:
         self._hconj: Optional[CArray] = None
         self._hsqrd = None
         if pipeline == "fused":
-            from ..ops.pallas_pipeline import supports_fused
-            if not supports_fused(cfg.fft_size) or self.fft_impl == "xla":
+            from ..ops.pallas_pipeline import supports_fused, warn_fused_fallback
+            if not supports_fused(cfg.fft_size):
+                warn_fused_fallback(cfg.fft_size, "StreamingDemodulator",
+                                    to="composed")
+                pipeline = "composed"
+            elif self.fft_impl == "xla":
+                import warnings
+                warnings.warn(
+                    "StreamingDemodulator: fused kernel unavailable on the "
+                    "complex-dtype ('xla' fft) path; using 'composed'",
+                    RuntimeWarning, stacklevel=2)
                 pipeline = "composed"
         self.pipeline = pipeline
         if pipeline == "fused":

@@ -126,8 +126,9 @@ class UplinkReceiver:
         # a donated buffer -- it only emits warnings.
         kw = dict(cp=cfg.cyclic_prefix, fft_impl=self.fft_impl)
         donate_args = (0,) if donate else ()
-        from ..ops.pallas_pipeline import supports_fused
+        from ..ops.pallas_pipeline import supports_fused, warn_fused_fallback
         if pipeline == "fused" and not supports_fused(cfg.fft_size):
+            warn_fused_fallback(cfg.fft_size, "UplinkReceiver")
             pipeline = self.pipeline = "fast"
         if pipeline == "fused" and self.fft_impl != "xla":
             from ..ops import pallas_pipeline

@@ -485,6 +485,21 @@ def supports_fused(fft_size: int) -> bool:
     return n1 >= 2 and not (n1 & (n1 - 1)) and n2 % 128 == 0
 
 
+def warn_fused_fallback(fft_size: int, who: str, to: str = "fast") -> None:
+    """Loud downgrade notice: a requested 'fused' pipeline falling back
+    costs the flagship kernel's throughput, so the downgrade must never be
+    silent (the reference's compile-time config is fail-loud by
+    construction, ShMemSymBuff.hpp:41-75).  RuntimeWarning so tests can
+    assert it and CLIs surface it on stderr."""
+    import warnings
+    n1, n2 = _fast_split(fft_size)
+    warnings.warn(
+        f"{who}: fused pipeline unavailable for fft_size={fft_size} "
+        f"(fast split ({n1}, {n2}) is not (power-of-two >= 2, multiple of "
+        f"128)); falling back to the slower {to!r} pipeline",
+        RuntimeWarning, stacklevel=3)
+
+
 def _resolve_interpret(interpret) -> bool:
     """None -> interpret on complex-capable CPU backends (tests/golden runs),
     compiled Mosaic elsewhere."""

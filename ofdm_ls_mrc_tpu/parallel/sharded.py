@@ -172,8 +172,9 @@ class ShardedUplinkReceiver:
                              f"by {n_time} time shards")
 
         if pipeline == "fused":
-            from ..ops.pallas_pipeline import supports_fused
+            from ..ops.pallas_pipeline import supports_fused, warn_fused_fallback
             if not supports_fused(cfg.fft_size):
+                warn_fused_fallback(cfg.fft_size, "ShardedUplinkReceiver")
                 pipeline = self.pipeline = "fast"
         self.exact = exact
         if pipeline == "fused":

@@ -15,9 +15,14 @@ that contract to NON-uniform slot occupancy -- e.g. demod_app's whole-frame
 mode, where frames cycle decode slots 1..L-1 so each slot receives ~N/(L-1)
 samples -- by tracking a per-slot occurrence count and dividing each slot's
 accumulated total by its OWN count.  When every slot is hit exactly
-``numTimes`` times (the reference pattern), the result is identical to the
-reference's.  Summary statistics are the mean and population variance across
-the per-slot means of the slots that received at least one sample.
+``numTimes`` times (the reference pattern), the reported AVERAGES are
+identical to the reference's.  The reported variance matches printTimes
+semantics too: the reference computes the population variance of the
+per-slot accumulated TOTALS and divides it once by numTimes
+(ShMemSymBuff.hpp:136-140,154), i.e. var(totals)/numTimes =
+var(per-slot means) * numTimes under uniform occupancy -- so the summary
+scales the variance of the per-slot means by the mean occurrence count of
+the occupied slots (exactly numTimes in the reference pattern).
 """
 
 from __future__ import annotations
@@ -86,9 +91,17 @@ class PhaseTimer:
     def _stats(self, name: str, skip_slot0: bool = False) -> Tuple[float, float]:
         means = self.slot_means(name)
         hit = self.counts[name] > 0
+        counts = self.counts[name]
         if skip_slot0 and self.num_slots > 1:
-            means, hit = means[1:], hit[1:]
-        return find_avg_and_var(means[hit])
+            means, hit, counts = means[1:], hit[1:], counts[1:]
+        avg, var = find_avg_and_var(means[hit])
+        # printTimes-parity variance scale: the reference reports
+        # var(per-slot TOTALS)/numTimes (ShMemSymBuff.hpp:136-140,154),
+        # which equals var(per-slot means) * numTimes when every slot is
+        # hit numTimes times; generalize to the mean occurrence count.
+        if hit.any():
+            var *= float(counts[hit].mean())
+        return avg, var
 
     def summary(self) -> Dict[str, Tuple[float, float]]:
         """Phase -> (avg, var) per occurrence across occupied slots.

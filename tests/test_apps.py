@@ -589,6 +589,25 @@ def test_sc16_native_feed_loopback(workdir):
     assert r.returncode == 2 and "requires --ring-dtype sc16" in r.stderr
 
 
+def test_sc16_native_rejects_fused_fallback(workdir):
+    """--sc16-native on an FFT size with no (2^k,128) split must be rejected
+    AFTER receiver construction: the silent fused->fast fallback would feed
+    int16 planes into the XLA fastpath, an untested path that only works by
+    scale cancellation (ADVICE r2)."""
+    from ofdm_ls_mrc_tpu.io.ring import SymbolRing
+    uid = f"/ofdm_app_{uuid.uuid4().hex[:8]}"
+    ring = SymbolRing(uid, 2, 384 + CP, 4, master=True, dtype="sc16")
+    try:
+        r = run(["ofdm_ls_mrc_tpu.apps.demod_app", "--shm-uid", uid,
+                 "--antennas", "2", "--fft-size", "384", "--cp-size", str(CP),
+                 "--frame-len", "4", "--ring-dtype", "sc16", "--sc16-native",
+                 "--pilots", str(workdir / "none.dat"), "--num-frames", "1"])
+        assert r.returncode == 2, r.stderr + r.stdout
+        assert "no (2^k, 128) split" in r.stderr
+    finally:
+        ring.close()
+
+
 def test_continuous_sync_file_player_exits_on_reader_shutdown(workdir):
     """--continuous-sync --num-frames 0: the producer must exit cleanly when
     the demod reader shuts the ring down, even with a full frame queue (the

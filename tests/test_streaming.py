@@ -83,8 +83,9 @@ class TestFusedStreaming:
 
     def test_fused_falls_back_small_fft(self, rng):
         pilot = np.exp(2j * np.pi * rng.random(CFG.num_subcarriers)).astype(np.complex64)
-        sd = StreamingDemodulator(CFG, pilot, fft_impl="four_step",
-                                  pipeline="fused")
+        with pytest.warns(RuntimeWarning, match="falling back"):
+            sd = StreamingDemodulator(CFG, pilot, fft_impl="four_step",
+                                      pipeline="fused")
         assert sd.pipeline == "composed"  # 64-pt FFT has no (2^k, 128) split
 
 
@@ -138,6 +139,10 @@ def test_timer_report_format():
     # by the slot's own occurrence count (== num_times here).
     assert abs(s["decode"][0] - np.mean([2e-3, 3e-3, 4e-3])) < 1e-9
     assert abs(s["chanest"][0] - 5e-3) < 1e-9
+    # printTimes-parity variance: the reference reports
+    # var(per-slot totals)/numTimes = var(per-slot means) * numTimes here.
+    means = np.array([2e-3, 3e-3, 4e-3])
+    assert abs(s["decode"][1] - means.var() * 2) < 1e-15
 
 
 def test_timer_uneven_slot_occupancy_hand_computed():
@@ -153,9 +158,11 @@ def test_timer_uneven_slot_occupancy_hand_computed():
     t.add("decode", 1, 30e-3)
     t.add("decode", 2, 40e-3)
     avg, var = t.summary()["decode"]
-    # Hand-computed: slot means are 20ms and 30ms -> avg 25ms, var 25e-6.
+    # Hand-computed: slot means are 20ms and 30ms -> avg 25ms; variance of
+    # means is 25e-6, scaled by the mean occurrence count (2) for
+    # printTimes parity -> 50e-6.
     assert abs(avg - 25e-3) < 1e-12
-    assert abs(var - 25e-6) < 1e-12
+    assert abs(var - 50e-6) < 1e-12
     # read phase: only slot 0 occupied; unoccupied slots are excluded
     # rather than dragging the mean toward zero.
     t.add("read", 0, 8e-3)
