@@ -78,6 +78,22 @@ def build_parser() -> argparse.ArgumentParser:
                          "kernel widens sc16 in VMEM at half the input HBM "
                          "traffic).  Requires --ring-dtype sc16 and the "
                          "fused pipeline; disables the per-slot timer")
+    ap.add_argument("--drop-dirty", action="store_true",
+                    help="exclude BEST-EFFORT (possibly misaligned) frames "
+                         "delivered under sustained writer overrun from the "
+                         "output file entirely (they are still recorded in "
+                         "the frame index as dropped-dirty)")
+    ap.add_argument("--frame-index", default=None, metavar="FILE",
+                    help="sideband per-frame provenance index written next "
+                         "to the output (default <output>.index; 'none' "
+                         "disables).  One line per delivered frame: "
+                         "'<seq> <clean|dirty|dropped-dirty> <row_start> "
+                         "<row_end>' -- row range into the output file, "
+                         "-1 -1 when not emitted.  Lets downstream consumers "
+                         "drop frames that were delivered best-effort during "
+                         "overrun (readLastSymbol-style deliberate loss, "
+                         "reference ShMemSymBuff.hpp:300-331, made "
+                         "observable)")
     ap.add_argument("--timeout", type=float, default=30.0,
                     help="ring spin-wait timeout seconds")
     ap.add_argument("--store-times", default=None,
@@ -239,7 +255,26 @@ def main(argv=None) -> int:
 
     n = 0
     wrote_any = False
-    batch = []
+    batch = []          # [(frame, dirty)] pending in --batch-frames mode
+    dropped_dirty = 0
+    rows_per_frame = cfg.num_data_symbols
+    index_path = (None if args.frame_index == "none"
+                  else (args.frame_index or args.output + ".index"))
+    index_f = open(index_path, "w") if index_path else None
+    emitted_rows = 0
+    seq = 0             # delivered-frame ordinal (incl. dropped-dirty)
+
+    def index_record(status, nrows):
+        """One provenance line per delivered frame: seq, status, and the
+        emitted row range in the output file (-1 -1 when not emitted)."""
+        nonlocal emitted_rows, seq
+        if index_f is not None:
+            lo, hi = ((emitted_rows, emitted_rows + nrows) if nrows
+                      else (-1, -1))
+            index_f.write(f"{seq} {status} {lo} {hi}\n")
+            index_f.flush()
+        emitted_rows += nrows
+        seq += 1
 
     def emit(arr):
         nonlocal wrote_any
@@ -267,18 +302,30 @@ def main(argv=None) -> int:
         arr = (re + 1j * im).astype(np.complex64)
         arr.reshape(cfg.frame_len, cfg.num_antennas, -1).tofile(dump_f)
 
+    def flush_batch():
+        """Emit a full batch with one capture-scan dispatch + index rows."""
+        nonlocal batch
+        emit(demod_batch([f for f, _ in batch]))
+        for _, was_dirty in batch:
+            index_record("dirty" if was_dirty else "clean", rows_per_frame)
+        batch = []
+
     try:
         for frame in feed.frames(max_frames=None if continuous
                                  else args.num_frames):
+            dirty = feed.last_frame_dirty
             if dump_f is not None:
                 dump_frame(frame)
+            if dirty and args.drop_dirty:
+                dropped_dirty += 1
+                index_record("dropped-dirty", 0)
+                continue
             if args.batch_frames > 1:
                 # Capture mode: one jitted scan dispatch per N frames.
-                batch.append(frame)
+                batch.append((frame, dirty))
                 n += 1
                 if len(batch) == args.batch_frames:
-                    emit(demod_batch(batch))
-                    batch = []
+                    flush_batch()
                 continue
             if timer:
                 # Whole-frame pipeline: channel estimation is fused into the
@@ -302,21 +349,27 @@ def main(argv=None) -> int:
             else:
                 out = rx.demod_frame(frame)
             emit(out.to_numpy())
+            index_record("dirty" if dirty else "clean", rows_per_frame)
             n += 1
     except KeyboardInterrupt:
         print(f"SIGINT: stopping after {n} frame(s)")
     # Flush a short trailing batch per-frame (a different K would recompile
     # the capture scan).
-    for fr in batch:
+    for fr, was_dirty in batch:
         emit(rx.demod_frame(fr).to_numpy())
+        index_record("dirty" if was_dirty else "clean", rows_per_frame)
     if dump_f is not None:
         dump_f.close()
+    if index_f is not None:
+        index_f.close()
     print(f"demodulated {n} frame(s) -> {args.output}")
     if feed.drop_events:
         print(f"writer overruns: {feed.drop_events} event(s), "
               f"{feed.resynced_frames} boundary resync(s), "
               f"{feed.dirty_frames} BEST-EFFORT (possibly misaligned) "
-              f"frame(s) delivered under sustained pressure",
+              f"frame(s) delivered under sustained pressure"
+              + (f", {dropped_dirty} excluded from the output "
+                 f"(--drop-dirty)" if dropped_dirty else ""),
               file=sys.stderr)
 
     if timer:

@@ -101,6 +101,14 @@ class RingFeed:
         self.drop_events = 0
         self.resynced_frames = 0
         self.dirty_frames = 0
+        # Provenance of the MOST RECENTLY yielded frame: True when it was
+        # delivered best-effort under sustained overrun (possibly
+        # misaligned).  Consumers that persist output must record or drop
+        # dirty frames -- a dirty frame in the same output stream as clean
+        # ones is otherwise indistinguishable downstream (VERDICT r2 Weak
+        # #6; the observable form of readLastSymbol's deliberate-loss
+        # semantics, reference ShMemSymBuff.hpp:300-331).
+        self.last_frame_dirty = False
         self._consumed_symbols = 0
         self._pending_resync = False
         self._just_resynced = False
@@ -171,6 +179,7 @@ class RingFeed:
                 buf = self._free.get()
                 if buf is None:  # stop() sentinel
                     return
+                dirty = False
                 while True:  # re-runs after an overrun resync
                     buf.reset()
                     if self._pending_resync:
@@ -233,6 +242,7 @@ class RingFeed:
                     self.drop_events += 1
                     if self._just_resynced:
                         self.dirty_frames += 1
+                        dirty = True
                         if self.dirty_frames == 1:
                             print("RingFeed: sustained overrun -- delivering "
                                   "BEST-EFFORT (possibly misaligned) frames; "
@@ -244,7 +254,7 @@ class RingFeed:
                           f"discarding the in-flight frame and resyncing",
                           file=sys.stderr)
                     self._pending_resync = True
-                self._ready.put(buf)
+                self._ready.put((buf, dirty))
         except (RingShutdown, RingTimeout) as e:
             self._error = e
             self._ready.put(None)  # wake the consumer
@@ -260,11 +270,12 @@ class RingFeed:
         n = 0
         try:
             while max_frames is None or n < max_frames:
-                buf = self._ready.get()
-                if buf is None:
+                item = self._ready.get()
+                if item is None:
                     if isinstance(self._error, (RingShutdown, RingTimeout)):
                         return  # clean end-of-stream
                     raise self._error
+                buf, self.last_frame_dirty = item
                 # Async dispatch: device_put returns immediately; the copy
                 # overlaps the next frame's ring reads.  On CPU backends
                 # device_put may alias the host buffer, so force a real copy

@@ -629,8 +629,18 @@ def test_sustained_overrun_does_not_livelock():
     # Counter increments at every 3rd read: every frame sees a fresh delta.
     stream = [(i, 1 + i // fl) for i in range(60)]
     feed = RingFeed(_ScriptedRing(ROWS, COLS, stream), cfg)
-    frames = [np.asarray(f.re)[:, 0, 0] for f in feed.frames(max_frames=2)]
+    frames, dirty_flags = [], []
+    for f in feed.frames(max_frames=2):
+        frames.append(np.asarray(f.re)[:, 0, 0])
+        dirty_flags.append(feed.last_frame_dirty)
     feed.stop()
     assert len(frames) == 2, "feed livelocked under sustained overrun"
     assert feed.dirty_frames >= 1
     assert feed.drop_events >= 2
+    # Per-frame provenance: every best-effort delivery is flagged on the
+    # frame itself (not just the aggregate counter) so consumers can drop
+    # or index dirty frames (VERDICT r2 Weak #6).  In this scripted stream
+    # every delivered frame is best-effort; the counter may run ahead of
+    # the flags (the reader thread fills one frame beyond the consumer).
+    assert dirty_flags == [True, True]
+    assert feed.dirty_frames >= sum(dirty_flags)
