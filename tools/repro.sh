@@ -29,7 +29,8 @@ print("entry + dryrun OK")
 EOF
 
 echo "== antenna-scaling harness (virtual 8-device CPU mesh) =="
-python tools/scaling_bench.py --virtual 8 --reps 2 --r-hi 7 --batch 1
+python tools/scaling_bench.py --virtual 8 --reps 2 --r-hi 7 --batch 1 \
+    --out SCALING_repro.json
 
 echo "== ring ingest benchmark =="
 python tools/ring_bench.py --batch --symbols 10100

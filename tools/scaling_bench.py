@@ -47,6 +47,11 @@ def main():
     ap.add_argument("--pipeline", default="fast", choices=["fast", "fused"],
                     help="shard body (fused = Pallas kernel per shard; "
                          "interpret-mode on CPU is slow)")
+    ap.add_argument("--out", default=None, metavar="FILE",
+                    help="also write the JSON record to FILE (the committed "
+                         "SCALING_r*.json artifacts; analogue of the "
+                         "reference's per-run timing dumps, "
+                         "gpuLS_main.cu:106-142)")
     args = ap.parse_args()
 
     if args.virtual:
@@ -120,15 +125,21 @@ def main():
               f"eff={eff*100:6.1f}% (vs {baseline_n} shard)  "
               f"psum={psum_payload_bytes(cfg, 1)} B/frame", flush=True)
 
-    print(json.dumps({
+    rec = {
         "metric": "antenna_scaling",
         "pipeline": args.pipeline,
         "platform": jax.devices()[0].platform,
         "virtual": bool(args.virtual),
+        "r_hi": r_hi,
         "config": {"antennas": args.antennas, "fft": args.fft,
                    "symbols": args.symbols},
         "rows": rows,
-    }))
+    }
+    print(json.dumps(rec))
+    if args.out:
+        with open(args.out, "w") as f:
+            json.dump(rec, f, indent=1)
+            f.write("\n")
 
 
 if __name__ == "__main__":
