@@ -149,13 +149,32 @@ def bench_sharded(cfg, pilot, frames: np.ndarray, reps: int,
 
     k = frames.shape[0]
     c = CArray.from_numpy(frames)                      # [K, S, A, N]
-    ps = NamedSharding(mesh, P(None, ANT_AXIS, None))
-    ds = NamedSharding(mesh, P(None, TIME_AXIS, ANT_AXIS, None))
-    pilots = CArray(jax.device_put(np.ascontiguousarray(c.re[:, 0]), ps),
-                    jax.device_put(np.ascontiguousarray(c.im[:, 0]), ps))
-    datas = CArray(jax.device_put(np.ascontiguousarray(c.re[:, 1:]), ds),
-                   jax.device_put(np.ascontiguousarray(c.im[:, 1:]), ds))
-    demod = rx._demod
+    if rx.pipeline == "fused" and cfg.cyclic_prefix == 0:
+        # Kernel-native placement: frames enter shard_map in the fused
+        # kernel's own [.., A, n1, n2] layout (a free host-side reshape), so
+        # the sharded body pays no per-frame operand re-tiling copy -- the
+        # same optimization the unsharded bench ships (VERDICT r2 Next #3).
+        from ofdm_ls_mrc_tpu.ops.fastpath import _fast_split
+        n1, n2 = _fast_split(cfg.fft_size)
+        s = cfg.frame_len
+        a = cfg.num_antennas
+        re4 = c.re.reshape(k, s, a, n1, n2)
+        im4 = c.im.reshape(k, s, a, n1, n2)
+        ps = NamedSharding(mesh, P(None, ANT_AXIS, None, None))
+        ds = NamedSharding(mesh, P(None, TIME_AXIS, ANT_AXIS, None, None))
+        pilots = CArray(jax.device_put(np.ascontiguousarray(re4[:, 0]), ps),
+                        jax.device_put(np.ascontiguousarray(im4[:, 0]), ps))
+        datas = CArray(jax.device_put(np.ascontiguousarray(re4[:, 1:]), ds),
+                       jax.device_put(np.ascontiguousarray(im4[:, 1:]), ds))
+        demod = rx._demod4
+    else:
+        ps = NamedSharding(mesh, P(None, ANT_AXIS, None))
+        ds = NamedSharding(mesh, P(None, TIME_AXIS, ANT_AXIS, None))
+        pilots = CArray(jax.device_put(np.ascontiguousarray(c.re[:, 0]), ps),
+                        jax.device_put(np.ascontiguousarray(c.im[:, 0]), ps))
+        datas = CArray(jax.device_put(np.ascontiguousarray(c.re[:, 1:]), ds),
+                       jax.device_put(np.ascontiguousarray(c.im[:, 1:]), ds))
+        demod = rx._demod
     xp = rx.x_full
 
     def make(r):

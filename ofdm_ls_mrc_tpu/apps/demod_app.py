@@ -201,10 +201,11 @@ def main(argv=None) -> int:
               f"to {rx.pipeline!r})", file=sys.stderr)
         return 2
     # Fused pipeline: place frames in the kernel's [S, A, n1, n2] layout
-    # (free host reshape; avoids an on-device re-tiling copy per frame).
-    # The sharded receiver takes [S, A, F] (its shard_map specs own layout).
+    # (free host reshape; avoids an on-device re-tiling copy per frame) --
+    # for BOTH the unsharded receiver and the sharded one (its 4-D
+    # shard_map specs accept the kernel-native layout, parallel/sharded.py).
     device_shape = None
-    if rx.pipeline == "fused" and not args.mesh:
+    if rx.pipeline == "fused":
         from ..ops.pallas_pipeline import fused_frame_shape
         device_shape = fused_frame_shape(cfg.frame_len, cfg.num_antennas,
                                          cfg.fft_size)
@@ -218,7 +219,9 @@ def main(argv=None) -> int:
 
         from ..ops.cplx import CArray as _CArray
         from ..parallel.mesh import ANT_AXIS
-        sh = NamedSharding(mesh, P(None, ANT_AXIS, None))
+        spec = (P(None, ANT_AXIS, None, None) if device_shape is not None
+                else P(None, ANT_AXIS, None))
+        sh = NamedSharding(mesh, spec)
 
         def put_fn(re_h, im_h):
             return _CArray(_jax.device_put(re_h, sh),

@@ -77,6 +77,37 @@ def test_sharded_fused_kernel_matches_golden(rng, devices):
     np.testing.assert_allclose(got, want, rtol=3e-3, atol=3e-3)
 
 
+def test_sharded_fused_4d_preshape_matches_golden(rng, devices):
+    """Kernel-native [S, A, n1, n2] frames flow through the 4-D shard_map
+    specs (no per-frame re-tiling copy in the custom call -- VERDICT r2
+    Next #3), for demod_frame AND the capture scan."""
+    from ofdm_ls_mrc_tpu.ops.cplx import CArray
+    from ofdm_ls_mrc_tpu.ops.pallas_pipeline import fused_frame_shape
+
+    cfg = FrameConfig(num_antennas=4, fft_size=1024, cyclic_prefix=0,
+                      frame_len=5)
+    pilot = np.exp(2j * np.pi * rng.random(cfg.num_subcarriers)).astype(np.complex64)
+    frame = crandn(rng, (cfg.frame_len, cfg.num_antennas, cfg.symbol_len))
+    mesh = make_mesh(2, 2, devices=jax.devices()[:4])
+    rx = ShardedUplinkReceiver(cfg, pilot, mesh, pipeline="fused")
+    shape = fused_frame_shape(cfg.frame_len, cfg.num_antennas, cfg.fft_size)
+    fr4 = CArray(frame.real.astype(np.float32).reshape(shape),
+                 frame.imag.astype(np.float32).reshape(shape))
+    want = dsp.demod_frame(frame, pilot, 0)
+    got = rx.demod_frame(fr4).to_numpy()
+    np.testing.assert_allclose(got, want, rtol=3e-3, atol=3e-3)
+
+    frs4 = CArray(np.stack([fr4.re, fr4.re]), np.stack([fr4.im, -fr4.im]))
+    cap = rx.demod_capture(frs4).to_numpy()
+    assert cap.shape == (2, cfg.num_data_symbols, cfg.num_subcarriers)
+    np.testing.assert_allclose(cap[0], want, rtol=3e-3, atol=3e-3)
+
+    # 4-D needs the fused/CP-free combination; others reject loudly.
+    rx_fast = ShardedUplinkReceiver(cfg, pilot, mesh, pipeline="fast")
+    with pytest.raises(ValueError, match="4-D"):
+        rx_fast.demod_frame(fr4)
+
+
 def test_sharded_fused_falls_back(rng, devices):
     pilot = np.exp(2j * np.pi * rng.random(CFG.num_subcarriers)).astype(np.complex64)
     # The downgrade must be LOUD: a typo'd FFT size silently costing the
