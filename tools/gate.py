@@ -33,6 +33,7 @@ sys.path.insert(0, REPO)
 FALLBACK_FLOOR_SPS = 24.75e9   # BENCH_r01 driver record
 TUNNEL_MARGIN = 0.20
 EVM_THRESHOLD_DB = -70.0
+MODES_FILE = os.path.join(REPO, "BENCH_MODES.json")
 
 
 def recorded_best_sps() -> float:
@@ -45,6 +46,63 @@ def recorded_best_sps() -> float:
         except Exception:
             continue
     return best or FALLBACK_FLOOR_SPS
+
+
+def load_mode_book() -> dict:
+    """The committed per-mode record book (bench.py --record)."""
+    if os.path.exists(MODES_FILE):
+        with open(MODES_FILE) as fh:
+            return json.load(fh)
+    return {}
+
+
+def _run_bench(extra_args) -> dict:
+    r = subprocess.run([sys.executable, "bench.py"] + extra_args, cwd=REPO,
+                       capture_output=True, text=True)
+    if r.returncode != 0:
+        raise RuntimeError(f"bench.py {' '.join(extra_args)} failed:\n"
+                           f"{r.stdout}{r.stderr}")
+    lines = [ln for ln in r.stdout.splitlines() if ln.startswith("{")]
+    if not lines:
+        raise RuntimeError(f"bench.py printed no JSON line:\n{r.stdout}")
+    return json.loads(lines[-1])
+
+
+def _mode_cli(cfg: dict):
+    out = ["--input", cfg["input"], "--pipeline", cfg["pipeline"],
+           "--kernel-precision", cfg["kernel_precision"],
+           "--antennas", str(cfg["antennas"]), "--fft", str(cfg["fft"]),
+           "--symbols", str(cfg["symbols"])]
+    if cfg.get("mesh"):
+        out += ["--mesh", cfg["mesh"]]
+    return out
+
+
+def gate_modes() -> int:
+    """Per-mode ratcheting floors: every mode recorded in BENCH_MODES.json
+    must stay within TUNNEL_MARGIN of its best recorded samples/s (VERDICT
+    r2: the default-mode floor alone could not catch a regressed sc16 or
+    64-antenna path)."""
+    book = load_mode_book()
+    if not book:
+        print("[gate] no BENCH_MODES.json: run bench.py --record "
+              "BENCH_MODES.json first", file=sys.stderr)
+        return 1
+    rc = 0
+    for mode, entry in sorted(book.items()):
+        floor = float(entry["best"]) * (1.0 - TUNNEL_MARGIN)
+        try:
+            rec = _run_bench(_mode_cli(entry["config"]))
+        except RuntimeError as e:
+            print(f"[gate] mode {mode}: {e}", file=sys.stderr)
+            rc = 1
+            continue
+        ok = float(rec["value"]) >= floor
+        print(f"[gate] mode {mode}: {rec['value']/1e9:.2f} Gs/s vs floor "
+              f"{floor/1e9:.2f} (best {entry['best']/1e9:.2f} - "
+              f"{TUNNEL_MARGIN*100:.0f}%): {'PASS' if ok else 'FAIL'}")
+        rc |= 0 if ok else 1
+    return rc
 
 
 def gate_accuracy() -> int:
@@ -86,22 +144,23 @@ def gate_accuracy() -> int:
 
 
 def gate_perf() -> int:
-    floor = recorded_best_sps() * (1.0 - TUNNEL_MARGIN)
-    r = subprocess.run([sys.executable, "bench.py"], cwd=REPO,
-                       capture_output=True, text=True)
-    if r.returncode != 0:
-        print(f"[gate] bench.py failed:\n{r.stdout}{r.stderr}",
-              file=sys.stderr)
+    """Default-mode throughput floor: the floor comes from the matching
+    entry in BENCH_MODES.json when one exists (ratchet), else from the
+    driver-recorded BENCH_r* artifacts."""
+    try:
+        rec = _run_bench([])
+    except RuntimeError as e:
+        print(f"[gate] {e}", file=sys.stderr)
         return 1
-    lines = [ln for ln in r.stdout.splitlines() if ln.startswith("{")]
-    if not lines:
-        print(f"[gate] bench.py printed no JSON line:\n{r.stdout}",
-              file=sys.stderr)
-        return 1
-    sps = float(json.loads(lines[-1])["value"])
+    sps = float(rec["value"])
+    mode = rec.get("mode", "?")
+    entry = load_mode_book().get(mode)
+    best = float(entry["best"]) if entry else recorded_best_sps()
+    src = f"mode record {mode!r}" if entry else "BENCH_r* driver records"
+    floor = best * (1.0 - TUNNEL_MARGIN)
     ok = sps >= floor
-    print(f"[gate] throughput: {sps/1e9:.2f} Gs/s vs floor {floor/1e9:.2f} "
-          f"(best recorded {recorded_best_sps()/1e9:.2f} - "
+    print(f"[gate] throughput ({mode}): {sps/1e9:.2f} Gs/s vs floor "
+          f"{floor/1e9:.2f} (best {best/1e9:.2f} from {src} - "
           f"{TUNNEL_MARGIN*100:.0f}% margin): {'PASS' if ok else 'FAIL'}")
     return 0 if ok else 1
 
@@ -111,6 +170,10 @@ def main() -> int:
     ap.add_argument("--skip-perf", action="store_true",
                     help="accuracy gate only (no TPU throughput floor)")
     ap.add_argument("--skip-accuracy", action="store_true")
+    ap.add_argument("--modes", action="store_true",
+                    help="also re-run EVERY mode recorded in "
+                         "BENCH_MODES.json against its ratcheting floor "
+                         "(slow: one bench per mode, needs the TPU)")
     args = ap.parse_args()
 
     rc = 0
@@ -118,6 +181,8 @@ def main() -> int:
         rc |= gate_accuracy()
     if not args.skip_perf:
         rc |= gate_perf()
+    if args.modes:
+        rc |= gate_modes()
     print(f"[gate] {'ALL PASS' if rc == 0 else 'REGRESSION DETECTED'}")
     return rc
 

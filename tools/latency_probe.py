@@ -1,0 +1,121 @@
+"""Per-symbol (ts=1) device-time probe: the low-latency streaming path.
+
+The reference's main runtime loop demodulates ONE symbol at a time
+(demodOneSymbol, gpuLS.cu:410-473).  This probe measures the TPU
+per-symbol step's sustained device time with the R-loop elision-proof
+methodology (docs/PERF.md) for both streaming bodies:
+
+  fused    -- the whole-pipeline Pallas kernel at ts=1
+              (models/streaming._demod_symbol_fused_fn)
+  composed -- plain jitted ops (fft four_step + MRC)
+
+Through the remote tunnel a single dispatch costs ~ms of host latency, so
+single-shot wall latency is meaningless here; sustained per-symbol device
+time is the honest capability number for the ts=1 program (on a local TPU
+host the dispatch overhead is ~us and this is the latency floor).
+
+Usage:  python tools/latency_probe.py [--bodies fused,composed]
+"""
+
+from __future__ import annotations
+
+import argparse
+import functools
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.abspath(os.path.join(os.path.dirname(__file__),
+                                                "..")))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--bodies", default="fused,composed")
+    ap.add_argument("--batch", type=int, default=256,
+                    help="device-resident symbols per measurement")
+    ap.add_argument("--reps", type=int, default=4)
+    ap.add_argument("--r-hi", type=int, default=101)
+    ap.add_argument("--antennas", type=int, default=16)
+    ap.add_argument("--fft", type=int, default=1024)
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from ofdm_ls_mrc_tpu.config import FrameConfig
+    from ofdm_ls_mrc_tpu.models.streaming import (
+        _demod_symbol_fn,
+        _demod_symbol_fused_fn,
+        _estimate_symbol_fn,
+        _estimate_symbol_fused_fn,
+    )
+    from ofdm_ls_mrc_tpu.ops import fastpath
+    from ofdm_ls_mrc_tpu.ops import ls as ls_ops
+    from ofdm_ls_mrc_tpu.ops.cplx import CArray
+
+    a, f, k = args.antennas, args.fft, args.batch
+    cfg = FrameConfig(num_antennas=a, fft_size=f, cyclic_prefix=0,
+                      frame_len=3)
+    rng = np.random.default_rng(0)
+    pilot_x = np.exp(2j * np.pi * rng.random(f - 1)).astype(np.complex64)
+    pilot_sym = (rng.standard_normal((a, f))
+                 + 1j * rng.standard_normal((a, f))).astype(np.complex64)
+    syms = (rng.standard_normal((k, a, f))
+            + 1j * rng.standard_normal((k, a, f))).astype(np.complex64)
+    csyms = CArray(jax.device_put(np.ascontiguousarray(syms.real)),
+                   jax.device_put(np.ascontiguousarray(syms.imag)))
+
+    def measure(body):
+        if body == "fused":
+            x_perm = fastpath.prepare_pilot_fast(pilot_x, f)
+            h, hnorm = jax.jit(functools.partial(
+                _estimate_symbol_fused_fn, cp=0))(
+                    CArray.from_numpy(pilot_sym), x_perm)
+            demod = functools.partial(_demod_symbol_fused_fn, cp=0)
+        else:
+            x_full = ls_ops.pad_pilot(pilot_x)
+            h, hnorm = jax.jit(functools.partial(
+                _estimate_symbol_fn, cp=0, fft_impl="four_step"))(
+                    CArray.from_numpy(pilot_sym), x_full)
+            demod = functools.partial(_demod_symbol_fn, cp=0,
+                                      fft_impl="four_step")
+        jax.block_until_ready(hnorm)
+
+        def prog_factory(r):
+            def prog(syms, h, hnorm, c0):
+                def rep(_, acc):
+                    def step(cacc, sym):
+                        # anti-elision: the normalizer varies per rep, so no
+                        # per-symbol program is cacheable across reps.
+                        out = demod(sym, h, hnorm + cacc)
+                        return cacc + (jnp.sum(out.re)
+                                       + jnp.sum(out.im)) * 1e-20, None
+                    cacc, _ = jax.lax.scan(step, acc, syms)
+                    return cacc
+                return jax.lax.fori_loop(0, r, rep, c0)
+            return jax.jit(prog)
+
+        def timed(r):
+            g = prog_factory(r)
+            float(g(csyms, h, hnorm, 0.0))
+            best = float("inf")
+            for _ in range(args.reps):
+                t0 = time.perf_counter()
+                float(g(csyms, h, hnorm, 0.0))
+                best = min(best, time.perf_counter() - t0)
+            return best
+
+        t1, thi = timed(1), timed(args.r_hi)
+        return max(thi - t1, 1e-12) / ((args.r_hi - 1) * k)
+
+    for body in args.bodies.split(","):
+        t = measure(body)
+        print(f"{body:10s} {t*1e6:8.2f} us/symbol  "
+              f"({a * f / t / 1e9:6.2f} Gs/s at ts=1)", flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -44,3 +44,8 @@ python bench.py --mesh 1x1
 
 echo "== regression gates (EVM vs golden + samples/s floor) =="
 python tools/gate.py
+
+# Full per-mode ratchet (one bench per BENCH_MODES.json entry, ~25 min):
+#   python tools/gate.py --skip-accuracy --skip-perf --modes
+# Refresh the mode records after a perf improvement with:
+#   python bench.py [mode flags] --record BENCH_MODES.json
