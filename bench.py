@@ -122,13 +122,15 @@ def psum_payload_bytes(cfg, n_time: int) -> int:
 
 
 def bench_sharded(cfg, pilot, frames: np.ndarray, reps: int,
-                  mesh_shape, pipeline: str = "fast", r_hi: int = 101) -> float:
+                  mesh_shape, pipeline: str = "fast", r_hi: int = 101,
+                  input_dtype: str = "f32") -> float:
     """Seconds per frame for the SHARDED receiver over an (ant, time) mesh.
 
     Same elision-proof R-loop as bench_tpu, with the frame pre-split into
     (pilot, data) and placed with the mesh shardings so the timed program
     contains no input resharding -- only the pipeline body and its single
-    fused psum over the ``ant`` axis.
+    fused psum over the ``ant`` axis.  ``input_dtype='sc16'`` places planar
+    int16 shards (fused body only; the kernel widens in VMEM).
     """
     import jax
     import jax.numpy as jnp
@@ -149,6 +151,15 @@ def bench_sharded(cfg, pilot, frames: np.ndarray, reps: int,
 
     k = frames.shape[0]
     c = CArray.from_numpy(frames)                      # [K, S, A, N]
+    if input_dtype == "sc16":
+        if not (rx.pipeline == "fused" and cfg.cyclic_prefix == 0):
+            raise SystemExit("--mesh with --input sc16 needs the fused "
+                             "shard body and cp=0")
+        from ofdm_ls_mrc_tpu.golden.io import SC16_FULL_SCALE
+        to16 = lambda v: np.clip(np.round(np.asarray(v) * SC16_FULL_SCALE),
+                                 -SC16_FULL_SCALE,
+                                 SC16_FULL_SCALE).astype(np.int16)
+        c = CArray(to16(c.re), to16(c.im))
     if rx.pipeline == "fused" and cfg.cyclic_prefix == 0:
         # Kernel-native placement: frames enter shard_map in the fused
         # kernel's own [.., A, n1, n2] layout (a free host-side reshape), so
@@ -332,10 +343,25 @@ def main():
                 json.dump(book, fh, indent=1, sort_keys=True)
                 fh.write("\n")
 
+    # sc16 rides the fused kernel only; other pipelines take the f32 path
+    # (the default is sc16 -- see --input help -- so downgrade with a note
+    # instead of failing a plain `bench.py --pipeline fast` run).
+    from ofdm_ls_mrc_tpu.ops.pallas_pipeline import supports_fused
+    input_dtype = args.input
+    if input_dtype == "sc16" and not (
+            args.pipeline == "fused" and supports_fused(args.fft)
+            and dev_cfg.cyclic_prefix == 0):
+        import sys
+        print(f"note: --input sc16 needs the fused kernel on CP-free "
+              f"frames; this {args.pipeline}/fft={args.fft} run uses f32 "
+              f"input", file=sys.stderr)
+        input_dtype = "f32"
+
     if args.mesh:
         n_ant, n_time = (int(v) for v in args.mesh.lower().split("x"))
         t_tpu = bench_sharded(dev_cfg, pilot, dev_frames, args.reps,
-                              (n_ant, n_time), pipeline=args.pipeline)
+                              (n_ant, n_time), pipeline=args.pipeline,
+                              input_dtype=input_dtype)
         t_gold = bench_golden(cfg, pilot, frames[0], args.golden_reps)
         sps = samples_per_frame / t_tpu
         sps_gold = samples_per_frame / t_gold
@@ -347,21 +373,8 @@ def main():
             "mesh": f"{n_ant}x{n_time}",
             "total_samples_per_sec": round(sps, 1),
             "psum_payload_bytes_per_frame": psum_payload_bytes(dev_cfg, n_time),
-        }, mode_name("f32"), "f32")
+        }, mode_name(input_dtype), input_dtype)
         return
-
-    # sc16 rides the fused kernel only; other pipelines take the f32 path
-    # (the default is sc16 -- see --input help -- so downgrade with a note
-    # instead of failing a plain `bench.py --pipeline fast` run).
-    from ofdm_ls_mrc_tpu.ops.pallas_pipeline import supports_fused
-    input_dtype = args.input
-    if input_dtype == "sc16" and not (args.pipeline == "fused"
-                                      and supports_fused(args.fft)):
-        import sys
-        print(f"note: --input sc16 needs the fused kernel; this "
-              f"{args.pipeline}/fft={args.fft} run uses f32 input",
-              file=sys.stderr)
-        input_dtype = "f32"
 
     t_tpu = bench_tpu(dev_cfg, pilot, dev_frames, args.reps,
                       pipeline=args.pipeline,

@@ -235,3 +235,11 @@ def test_sharded_fused_accepts_int16_shards(rng, devices):
                                 jnp.asarray(im16))).to_numpy()
     err = np.max(np.abs(got - want)) / np.max(np.abs(want))
     assert err < 1e-5, err
+
+    # And through the kernel-native 4-D specs (bench --mesh --input sc16).
+    from ofdm_ls_mrc_tpu.ops.pallas_pipeline import fused_frame_shape
+    shape4 = fused_frame_shape(cfg.frame_len, cfg.num_antennas, cfg.fft_size)
+    got4 = rx.demod_frame(CArray(jnp.asarray(re16.reshape(shape4)),
+                                 jnp.asarray(im16.reshape(shape4)))).to_numpy()
+    err4 = np.max(np.abs(got4 - want)) / np.max(np.abs(want))
+    assert err4 < 1e-5, err4

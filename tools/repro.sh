@@ -5,8 +5,9 @@
 #
 # Individual pieces:
 #   python bench.py                          one JSON line: samples/s/chip
+#                                            (sc16-native default mode)
 #   python tools/ring_bench.py --batch       shm ingest throughput
-#   python -m pytest tests/ -q               166+ tests (forced-CPU 8-dev mesh)
+#   python -m pytest tests/ -q               220+ tests (forced-CPU 8-dev mesh)
 #   docs/PERF.md                             methodology + measured numbers
 set -euo pipefail
 cd "$(dirname "$0")/.."
