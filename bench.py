@@ -56,7 +56,7 @@ def _make_repeated(demod_xp, reps: int):
 
 def bench_tpu(cfg, pilot, frames: np.ndarray, reps: int,
               pipeline: str = "fused", exact: bool = True,
-              input_dtype: str = "f32") -> float:
+              input_dtype: str = "f32", fuse_estimate: bool = False) -> float:
     """Seconds per frame for the jitted whole-frame pipeline on-device."""
     import functools
 
@@ -71,7 +71,7 @@ def bench_tpu(cfg, pilot, frames: np.ndarray, reps: int,
     if pipeline == "fused" and supports_fused(cfg.fft_size):
         from ofdm_ls_mrc_tpu.ops.pallas_pipeline import demod_frame_fused
         demod_xp = functools.partial(demod_frame_fused, cp=cfg.cyclic_prefix,
-                                     exact=exact)
+                                     exact=exact, fuse_estimate=fuse_estimate)
         if cfg.cyclic_prefix == 0:
             # Place frames in the kernel's [.., n1, n2] layout (free on the
             # host) so the custom call needs no operand re-tiling copy.
@@ -267,6 +267,11 @@ def main():
                          "reference's antenna tree-reduce, "
                          "gpuLS.cu:198-203,247-252).  Reports samples/s/chip "
                          "and the psum payload bytes/frame.")
+    ap.add_argument("--fuse-estimate", action="store_true",
+                    help="compute the LS channel estimate INSIDE the fused "
+                         "kernel (pilot row's stage-2 output at grid step 0 "
+                         "-> VMEM scratch) instead of the separate XLA "
+                         "pilot path")
     ap.add_argument("--record", default=None, metavar="FILE",
                     help="update a per-mode record file (BENCH_MODES.json): "
                          "a {mode: record} map keeping each mode's best "
@@ -379,7 +384,8 @@ def main():
     t_tpu = bench_tpu(dev_cfg, pilot, dev_frames, args.reps,
                       pipeline=args.pipeline,
                       exact=(args.kernel_precision == "exact"),
-                      input_dtype=input_dtype)
+                      input_dtype=input_dtype,
+                      fuse_estimate=args.fuse_estimate)
     t_gold = bench_golden(cfg, pilot, frames[0], args.golden_reps)
 
     sps = samples_per_frame / t_tpu

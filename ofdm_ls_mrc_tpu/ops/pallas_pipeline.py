@@ -202,7 +202,8 @@ def _stage2_dots(bre, bim, wcat_hi, wcat_lo, n2: int, exact: bool = True):
 
 def _kernel(yre_ref, yim_ref, hre_ref, him_ref, hsqinv_ref,
             twre_ref, twim_ref, *rest, ts: int, a: int, n1: int, n2: int,
-            exact: bool = True, schedule: str = "block"):
+            exact: bool = True, schedule: str = "block",
+            fuse_est: bool = False):
     """Per-symbol software interleave in straight-line code: stage 1 (VPU
     butterflies + twiddle) of symbol k+1 is issued BEFORE stage 2 + MRC
     (MXU dots + reduce) of symbol k.  The chains are data-independent, so
@@ -219,13 +220,24 @@ def _kernel(yre_ref, yim_ref, hre_ref, him_ref, hsqinv_ref,
     """
     n_tw_stages = max(n1.bit_length() - 2, 0)   # all radix-2 stages but span-1
     stage_refs = rest[:2 * n_tw_stages]
-    wch_ref, wcl_ref, outre_ref, outim_ref = rest[2 * n_tw_stages:]
+    if fuse_est:
+        # In-kernel channel estimation (r3): the h inputs are replaced by
+        # the pilot reference (xre, xim, 1/|x|^2, kernel order) and h lives
+        # in VMEM scratch, written once at grid step 0 from the pilot row's
+        # own stage-2 output -- the kernel FFTs row 0 anyway, so the whole
+        # XLA-side pilot path (fft_permuted + LS divide + |h|^2 reduce +
+        # their dispatch overhead) disappears from the program.
+        (wch_ref, wcl_ref, outre_ref, outim_ref,
+         hre_s, him_s, inv_s) = rest[2 * n_tw_stages:]
+    else:
+        wch_ref, wcl_ref, outre_ref, outim_ref = rest[2 * n_tw_stages:]
     consts = [(stage_refs[2 * i][:][None], stage_refs[2 * i + 1][:][None])
               for i in range(n_tw_stages)]
     twre, twim = twre_ref[:][None], twim_ref[:][None]
-    hre = hre_ref[:][None]
-    him = him_ref[:][None]
-    inv = hsqinv_ref[:][None]
+    if not fuse_est:
+        hre = hre_ref[:][None]
+        him = him_ref[:][None]
+        inv = hsqinv_ref[:][None]
 
     if yre_ref.dtype == jnp.float32:
         def load(lo):
@@ -254,19 +266,46 @@ def _kernel(yre_ref, yim_ref, hre_ref, him_ref, hsqinv_ref,
         ar, ai = _dif_sublane(xr, xi, a, n1, n2, consts)
         return s1_finish(ar, ai)
 
+    def estimate_from(c2re, c2im):
+        """Write (h, 1/sum|h|^2) scratch from the pilot row's stage-2 output
+        (grid step 0 only; rows of the SAME tile read it right after in
+        program order, later steps read the persisted scratch)."""
+        @pl.when(pl.program_id(0) == 0)
+        def _():
+            pr = c2re.reshape(a, n1, n2)
+            pi = c2im.reshape(a, n1, n2)
+            xre = hre_ref[:][None]       # pilot reference, kernel order
+            xim = him_ref[:][None]
+            den = hsqinv_ref[:][None]    # 1/|x|^2
+            h_r = (pr * xre + pi * xim) * den
+            h_i = (pi * xre - pr * xim) * den
+            hre_s[:] = h_r
+            him_s[:] = h_i
+            inv_s[:] = 1.0 / jnp.sum(h_r * h_r + h_i * h_i, axis=0)
+
     def mrc_write(c2re, c2im, lo):
         cre = c2re.reshape(1, a, n1, n2)
         cim = c2im.reshape(1, a, n1, n2)
-        num_re = jnp.sum(cre * hre + cim * him, axis=1)
-        num_im = jnp.sum(cim * hre - cre * him, axis=1)
-        outre_ref[lo:lo + 1] = num_re * inv
-        outim_ref[lo:lo + 1] = num_im * inv
+        if fuse_est:
+            h_re = hre_s[:][None]
+            h_im = him_s[:][None]
+            h_inv = inv_s[:][None]
+        else:
+            h_re, h_im, h_inv = hre, him, inv
+        num_re = jnp.sum(cre * h_re + cim * h_im, axis=1)
+        num_im = jnp.sum(cim * h_re - cre * h_im, axis=1)
+        outre_ref[lo:lo + 1] = num_re * h_inv
+        outim_ref[lo:lo + 1] = num_im * h_inv
 
     def stage2_mrc(b, lo):
         bre, bim = b
         c2re, c2im = _stage2_dots(bre, bim, wch_ref[:], wcl_ref[:], n2,
                                   exact=exact)
         mrc_write(c2re, c2im, lo)
+
+    if fuse_est and (schedule in ("io", "io2", "s1only", "s2only", "fine")):
+        raise NotImplementedError("fuse_est supports the grouped-dot "
+                                  "schedules only")
 
     if schedule == "io":
         # Probe: input DMA + loads + a minimal reduce + output writes -- the
@@ -412,7 +451,10 @@ def _kernel(yre_ref, yim_ref, hre_ref, him_ref, hsqinv_ref,
             else:
                 xrwr, xrwi = pr(hr), pi(hr)
                 xiwr, xiwi = pr(hi_), pi(hi_)
-            mrc_write(xrwr - xiwi, xrwi + xiwr, lo + j)
+            c2r, c2i = xrwr - xiwi, xrwi + xiwr
+            if fuse_est and lo + j == 0:
+                estimate_from(c2r, c2i)   # pilot row: refresh h scratch
+            mrc_write(c2r, c2i, lo + j)
 
     groups = [list(range(i, min(i + g, ts))) for i in range(0, ts, g)]
     b_prev = [stage1(k) for k in groups[0]]
@@ -521,7 +563,7 @@ def _auto_ts(a: int, f: int) -> int:
 def fused_pipeline(y: CArray, hre: jnp.ndarray, him: jnp.ndarray,
                    hsqinv: jnp.ndarray, *, ts: int | None = None,
                    interpret=None, exact: bool = True,
-                   schedule: str = "g2") -> CArray:
+                   schedule: str = "g2", fuse_estimate: bool = False) -> CArray:
     """FFT + channel-conjugate MRC over a data block.
 
     Args:
@@ -533,8 +575,14 @@ def fused_pipeline(y: CArray, hre: jnp.ndarray, him: jnp.ndarray,
                of the 3D array interleave antennas), profiled at ~14 us/frame.
       hre/him: [A, F] planar channel estimate h (NOT conjugated; the kernel
                multiplies by conj(h)), in fastpath permuted order
-               (fft_permuted output layout).
-      hsqinv:  [F] fp32 1/sum_a|h|^2, fastpath permuted order.
+               (fft_permuted output layout).  With ``fuse_estimate`` these
+               are instead the [F] PILOT REFERENCE (x.re, x.im, perm order).
+      hsqinv:  [F] fp32 1/sum_a|h|^2, fastpath permuted order.  With
+               ``fuse_estimate``: 1/|x|^2 instead.
+      fuse_estimate: treat row 0 of ``y`` as the PILOT and compute the LS
+               channel estimate in-kernel at grid step 0 (h lives in VMEM
+               scratch) -- removes the XLA-side pilot path entirely.  Row 0
+               of the output is the pilot's self-demod (callers drop it).
 
     Returns:
       [S, F] planar equalized subcarriers in KERNEL order (bit-reversed k1);
@@ -570,9 +618,15 @@ def fused_pipeline(y: CArray, hre: jnp.ndarray, him: jnp.ndarray,
     # Reorder the channel/normalizer/twiddle rows from natural k1 to the
     # kernel's bit-reversed k1 (tiny one-time gathers outside the kernel).
     br = _bitrev(n1)
-    h_re = hre.reshape(a, n1, n2)[:, br, :]
-    h_im = him.reshape(a, n1, n2)[:, br, :]
-    hsq = hsqinv.reshape(n1, n2)[br, :]
+    if fuse_estimate:
+        # h inputs carry the [F] pilot reference (x.re, x.im, 1/|x|^2).
+        h_re = hre.reshape(n1, n2)[br, :]
+        h_im = him.reshape(n1, n2)[br, :]
+        hsq = hsqinv.reshape(n1, n2)[br, :]
+    else:
+        h_re = hre.reshape(a, n1, n2)[:, br, :]
+        h_im = him.reshape(a, n1, n2)[:, br, :]
+        hsq = hsqinv.reshape(n1, n2)[br, :]
 
     tw = _twiddle(n1, n2, -1.0)[br]  # [k1_br, i2]
     if jnp.issubdtype(yre.dtype, jnp.integer):
@@ -590,7 +644,7 @@ def fused_pipeline(y: CArray, hre: jnp.ndarray, him: jnp.ndarray,
 
     grid = ((s + ts - 1) // ts,)
     kernel = functools.partial(_kernel, ts=ts, a=a, n1=n1, n2=n2, exact=exact,
-                               schedule=schedule)
+                               schedule=schedule, fuse_est=fuse_estimate)
     block_y = pl.BlockSpec((ts, a, n1, n2), lambda i: (i, 0, 0, 0),
                            memory_space=pltpu.VMEM)
     full = lambda shape: pl.BlockSpec(shape, lambda i: tuple(0 for _ in shape),
@@ -598,11 +652,24 @@ def fused_pipeline(y: CArray, hre: jnp.ndarray, him: jnp.ndarray,
     out_spec = pl.BlockSpec((ts, n1, n2), lambda i: (i, 0, 0),
                             memory_space=pltpu.VMEM)
 
+    h_shape = (n1, n2) if fuse_estimate else (a, n1, n2)
+    kwargs = {}
+    if fuse_estimate:
+        # h lives in VMEM scratch, written at grid step 0 and read by every
+        # later step: the grid must execute in order with scratch persisting
+        # across steps ("arbitrary" semantics).
+        kwargs["scratch_shapes"] = [pltpu.VMEM((a, n1, n2), jnp.float32),
+                                    pltpu.VMEM((a, n1, n2), jnp.float32),
+                                    pltpu.VMEM((n1, n2), jnp.float32)]
+        if not interpret:
+            kwargs["compiler_params"] = pltpu.CompilerParams(
+                dimension_semantics=("arbitrary",))
+
     out_re, out_im = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[block_y, block_y,
-                  full((a, n1, n2)), full((a, n1, n2)), full((n1, n2)),
+                  full(h_shape), full(h_shape), full((n1, n2)),
                   full((n1, n2)), full((n1, n2)),
                   *(full((n1, n2)) for _ in range(len(stage_tw))),
                   full((n2, 2 * n2)), full((n2, 2 * n2))],
@@ -615,6 +682,7 @@ def fused_pipeline(y: CArray, hre: jnp.ndarray, him: jnp.ndarray,
             bytes_accessed=(2 * s * a * f + 2 * s * f) * 4,
             transcendentals=0,
         ),
+        **kwargs,
     )(yre, yim, h_re, h_im, hsq, twre, twim, *stage_tw, *consts)
 
     return CArray(out_re.reshape(s, f), out_im.reshape(s, f))
@@ -622,7 +690,8 @@ def fused_pipeline(y: CArray, hre: jnp.ndarray, him: jnp.ndarray,
 
 def demod_frame_fused(frame: CArray, x_full_perm: CArray, *, cp: int,
                       ts: int | None = None, interpret=None,
-                      exact: bool = True, schedule: str = "g2") -> CArray:
+                      exact: bool = True, schedule: str = "g2",
+                      fuse_estimate: bool = False) -> CArray:
     """Drop-in for fastpath.demod_frame_fast backed by the fused kernel.
 
     Args:
@@ -631,6 +700,12 @@ def demod_frame_fused(frame: CArray, x_full_perm: CArray, *, cp: int,
                    layout copy; see fused_pipeline).
       x_full_perm: [F] planar padded pilot in permuted order
                    (fastpath.prepare_pilot_fast).
+      fuse_estimate: compute the LS channel estimate INSIDE the kernel from
+                   the pilot row's own stage-2 output (grid step 0, h in
+                   VMEM scratch) instead of the separate XLA pilot path --
+                   one fewer program stage, fewer dispatches, no pilot-row
+                   widen for sc16 frames.  Same fp32-grade numerics (the
+                   in-kernel pilot FFT uses the same bf16-split dots).
 
     Returns:
       [S-1, F-1] planar demod output in reference layout (DC dropped,
@@ -644,11 +719,20 @@ def demod_frame_fused(frame: CArray, x_full_perm: CArray, *, cp: int,
         y = frame
         f = y.shape[-2] * y.shape[-1]
         a = y.shape[1]
-        pilot_3d = CArray(y.re[0].reshape(a, f), y.im[0].reshape(a, f))
+        pilot_3d = None if fuse_estimate else CArray(
+            y.re[0].reshape(a, f), y.im[0].reshape(a, f))
     else:
         y = frame if cp == 0 else frame[..., cp:]
         f = y.shape[-1]
-        pilot_3d = y[0]
+        pilot_3d = None if fuse_estimate else y[0]
+
+    if fuse_estimate:
+        denom = 1.0 / x_full_perm.abs2()
+        eq = fused_pipeline(y, x_full_perm.re, x_full_perm.im, denom,
+                            ts=ts, interpret=interpret, exact=exact,
+                            schedule=schedule, fuse_estimate=True)
+        return to_reference_order(eq, f)[1:]
+
     # Pilot symbol: one-off XLA FFT; LS estimate in permuted order.
     if jnp.issubdtype(pilot_3d.re.dtype, jnp.integer):
         # sc16-native frames: widen+scale the pilot row for the XLA side

@@ -209,3 +209,38 @@ def test_sc16_native_int16_input(rng):
     # And through the golden oracle on the quantized stream.
     want = dsp.demod_frame(frame_q, pilot, 0)
     np.testing.assert_allclose(got, want, rtol=3e-4, atol=3e-4)
+
+
+def test_fuse_estimate_matches_golden_and_base(rng):
+    """fuse_estimate=True computes the LS estimate INSIDE the kernel from
+    the pilot row's stage-2 output (grid step 0, VMEM scratch): same
+    fp32-grade result as the XLA-pilot path and the golden, for f32 AND
+    int16 inputs, across multiple symbol tilings (the tail tile must not
+    clobber the step-0 estimate)."""
+    import jax.numpy as jnp
+
+    s = 17                      # spans 3 grid tiles at ts=8 (ragged tail)
+    frame = (0.1 * crandn(rng, (s, A, F))).astype(np.complex64)
+    pilot = np.exp(2j * np.pi * rng.random(F - 1)).astype(np.complex64)
+    x_perm = fastpath.prepare_pilot_fast(pilot, F)
+    c = CArray.from_numpy(frame)
+    base = demod_frame_fused(c, x_perm, cp=0, interpret=True).to_numpy()
+    for ts in (8, 4, 2):
+        got = demod_frame_fused(c, x_perm, cp=0, ts=ts, interpret=True,
+                                fuse_estimate=True).to_numpy()
+        err = np.max(np.abs(got - base)) / np.max(np.abs(base))
+        assert err < 5e-5, (ts, err)
+    want = dsp.demod_frame(frame, pilot, 0)
+    np.testing.assert_allclose(got, want, rtol=6e-4, atol=6e-4)
+
+    # int16 input: the pilot row needs no XLA-side widen with fuse_estimate
+    # (scale rides the twiddles for ALL rows including the pilot).
+    q = np.round(frame.view(np.float32) * 32767).astype(np.int16)
+    re16 = np.ascontiguousarray(q.reshape(s, A, F, 2)[..., 0])
+    im16 = np.ascontiguousarray(q.reshape(s, A, F, 2)[..., 1])
+    ci = CArray(jnp.asarray(re16), jnp.asarray(im16))
+    b16 = demod_frame_fused(ci, x_perm, cp=0, interpret=True).to_numpy()
+    g16 = demod_frame_fused(ci, x_perm, cp=0, interpret=True,
+                            fuse_estimate=True).to_numpy()
+    err16 = np.max(np.abs(g16 - b16)) / np.max(np.abs(b16))
+    assert err16 < 5e-5, err16
