@@ -764,6 +764,56 @@ def test_continuous_sync_file_player_exits_on_reader_shutdown(workdir):
     assert "continuous sync:" in rx_out
 
 
+def test_demod_app_sharded_mesh_sc16_native(workdir):
+    """--mesh + --sc16-native: int16 planes flow ring -> 4-D pre-shaped
+    mesh placement -> fused shard body (kernel widens in VMEM), end to end
+    from the app surface on the virtual CPU mesh."""
+    cap = str(workdir / "capture_sc16.dat")
+    sent = str(workdir / "sent.dat")
+    out = str(workdir / "Output_tpu.dat")
+    uid = f"/ofdm_app_{uuid.uuid4().hex[:8]}"
+    # F=1024 so the fused shard body engages (sc16-native requires it).
+    common = ["--antennas", "2", "--fft-size", "1024",
+              "--cp-size", str(CP), "--frame-len", "4"]
+    env = {**ENV_BASE,
+           "XLA_FLAGS": ENV_BASE.get("XLA_FLAGS", "")
+           + " --xla_force_host_platform_device_count=2"}
+    r = run(["ofdm_ls_mrc_tpu.apps.tx_app", "--out", cap, "--data-out", sent,
+             "--out-format", "sc16", "--pn-preamble", "--snr", "35",
+             "--channel-taps", "4",
+             "--pilots", str(workdir / "none.dat"),
+             "--pn-file", str(workdir / "none.dat")] + common
+            + ["--num-frames", "1"])
+    assert r.returncode == 0, r.stderr
+
+    rx = subprocess.Popen(
+        [sys.executable, "-m", "ofdm_ls_mrc_tpu.apps.rx_app", "--file", cap,
+         "--file-format", "sc16", "--ring-dtype", "sc16", "--shm-uid", uid,
+         "--thres", "0.05", "--wait-writes",
+         "--pn-file", str(workdir / "none.dat"),
+         "--num-frames", "1"] + common,
+        cwd=REPO, env=env, stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+        text=True)
+    dm = subprocess.Popen(
+        [sys.executable, "-m", "ofdm_ls_mrc_tpu.apps.demod_app",
+         "--shm-uid", uid, "--output", out, "--num-frames", "1",
+         "--mesh", "2x1", "--ring-dtype", "sc16", "--sc16-native",
+         "--fft-impl", "four_step", "--no-timer",
+         "--pilots", str(workdir / "none.dat")] + common,
+        cwd=REPO, env=env, stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+        text=True)
+    rx_out, rx_err = rx.communicate(timeout=600)
+    dm_out, dm_err = dm.communicate(timeout=600)
+    assert rx.returncode == 0, rx_err + rx_out
+    assert dm.returncode == 0, dm_err + dm_out
+
+    got = np.fromfile(out, dtype=np.complex64).reshape(3, 1023)
+    want = np.fromfile(sent, dtype=np.complex64).reshape(3, 1023)
+    evm = 10 * np.log10(np.mean(np.abs(np.fft.fftshift(got, axes=-1) - want) ** 2)
+                        / np.mean(np.abs(want) ** 2))
+    assert evm < -25.0, f"EVM {evm:.1f} dB"
+
+
 def test_demod_app_sharded_mesh(workdir):
     """--mesh 2x2: the sharded receiver (antenna-sharded MRC + fused psum)
     reachable from the app surface, on the virtual CPU mesh."""
