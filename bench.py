@@ -68,13 +68,19 @@ def bench_tpu(cfg, pilot, frames: np.ndarray, reps: int,
     k = frames.shape[0]
     x_perm = prepare_pilot_fast(pilot, cfg.fft_size)
     from ofdm_ls_mrc_tpu.ops.pallas_pipeline import fused_frame_shape, supports_fused
-    if pipeline == "fused" and supports_fused(cfg.fft_size):
+    fused = pipeline == "fused" and supports_fused(cfg.fft_size)
+    if input_dtype == "sc16" and not fused:
+        raise SystemExit("--input sc16 requires the fused pipeline")
+    if fused:
         from ofdm_ls_mrc_tpu.ops.pallas_pipeline import demod_frame_fused
         demod_xp = functools.partial(demod_frame_fused, cp=cfg.cyclic_prefix,
                                      exact=exact, fuse_estimate=fuse_estimate)
         if cfg.cyclic_prefix == 0:
             # Place frames in the kernel's [.., n1, n2] layout (free on the
             # host) so the custom call needs no operand re-tiling copy.
+            # (Pre-split (pilot, data) placement via demod_parts_fused was
+            # ALSO tried and measured 0.97-0.99x of this whole-frame form
+            # under rigorous interleaving -- docs/PERF.md negatives, r3.)
             k_, s_, a_, _ = frames.shape
             frames = frames.reshape((k_,) + fused_frame_shape(s_, a_, cfg.fft_size))
     else:
@@ -84,8 +90,6 @@ def bench_tpu(cfg, pilot, frames: np.ndarray, reps: int,
         # sc16-native input: planar int16 planes (half the H2D and input HBM
         # bytes; the kernel widens in VMEM, full-scale factor on the twiddle
         # constants).  Fused pipeline only.
-        if not (pipeline == "fused" and supports_fused(cfg.fft_size)):
-            raise SystemExit("--input sc16 requires the fused pipeline")
         from ofdm_ls_mrc_tpu.golden.io import SC16_FULL_SCALE
         to16 = lambda v: np.clip(np.round(np.asarray(v) * SC16_FULL_SCALE),
                                  -SC16_FULL_SCALE,

@@ -130,6 +130,7 @@ class UplinkReceiver:
         if pipeline == "fused" and not supports_fused(cfg.fft_size):
             warn_fused_fallback(cfg.fft_size, "UplinkReceiver")
             pipeline = self.pipeline = "fast"
+        self._demod_parts = None
         if pipeline == "fused" and self.fft_impl != "xla":
             from ..ops import pallas_pipeline
             x_perm = fastpath.prepare_pilot_fast(pilot_x, cfg.fft_size)
@@ -137,6 +138,12 @@ class UplinkReceiver:
                 pallas_pipeline.demod_frame_fused, x_full_perm=x_perm,
                 cp=cfg.cyclic_prefix, exact=exact, ts=kernel_ts),
                 donate_argnums=donate_args)
+            if cfg.cyclic_prefix == 0:
+                # Pre-split fast path (see demod_parts): pilot as its own
+                # [A, F] array + data rows [S-1, A, (n1, n2)].
+                self._demod_parts = jax.jit(functools.partial(
+                    pallas_pipeline.demod_parts_fused, x_full_perm=x_perm,
+                    exact=exact, ts=kernel_ts))
         elif pipeline == "fast" and self.fft_impl != "xla":
             x_perm = fastpath.prepare_pilot_fast(pilot_x, cfg.fft_size)
             self._demod_frame = jax.jit(functools.partial(
@@ -157,6 +164,20 @@ class UplinkReceiver:
     def demod_frame(self, frame: FrameLike) -> CArray:
         """[S, A, F+cp] -> [S-1, F-1] demodulated data symbols."""
         return self._demod_frame(_as_carray(frame))
+
+    def demod_parts(self, pilot: FrameLike, data: FrameLike) -> CArray:
+        """Pre-split fused path: pilot [A, F] + CP-free data rows
+        [S-1, A, F] (or kernel-native [S-1, A, n1, n2]) -> [S-1, F-1].
+
+        For consumers whose pilot and data arrive separately (split-phase
+        flows, sharded-style layouts).  Throughput note: the whole-frame
+        demod_frame measured 1-3% FASTER under rigorous interleaving, so
+        this is an API convenience, not a perf lever (docs/PERF.md
+        negatives, r3).  Fused pipeline with cyclic_prefix=0 only."""
+        if self._demod_parts is None:
+            raise ValueError("demod_parts needs pipeline='fused' and "
+                             "cyclic_prefix=0")
+        return self._demod_parts(_as_carray(pilot), _as_carray(data))
 
     # -- split-phase path (analog of firstVector + demodOneSymbol) ----------
     def estimate_channel(self, pilot_sym: FrameLike) -> Tuple[CArray, jax.Array]:

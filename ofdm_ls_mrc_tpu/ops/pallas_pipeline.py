@@ -688,6 +688,47 @@ def fused_pipeline(y: CArray, hre: jnp.ndarray, him: jnp.ndarray,
     return CArray(out_re.reshape(s, f), out_im.reshape(s, f))
 
 
+def demod_parts_fused(pilot: CArray, data: CArray, x_full_perm: CArray, *,
+                      ts: int | None = None, interpret=None,
+                      exact: bool = True, schedule: str = "g2") -> CArray:
+    """Pre-split (pilot, data) variant of demod_frame_fused (CP-free).
+
+    Why it exists: consumers whose pilot and data arrive as separate
+    streams (the sharded path's layout; split-phase estimate flows) get a
+    first-class fused entry without re-stacking a frame tensor.  As a
+    PERF lever it is a measured negative: under rigorous interleaving the
+    whole-frame form is 1-3% FASTER (the in-jit pilot slice costs less
+    than the separate pilot H2D + the lost tile-0 overlap) -- see
+    docs/PERF.md negatives (r3); earlier same-session readings that showed
+    the pre-splitting sharded path ahead were tunnel-window drift.
+
+    Args:
+      pilot: [A, F] planar (f32, or int16 sc16 planes -- widened here).
+      data:  [S-1, A, F] or pre-shaped [S-1, A, n1, n2] planar data rows.
+      x_full_perm: [F] padded pilot reference, fastpath permuted order.
+
+    Returns [S-1, F-1] in reference layout.
+    """
+    from . import fastpath
+
+    if data.re.ndim == 4:
+        f = data.shape[-2] * data.shape[-1]
+    else:
+        f = data.shape[-1]
+    if jnp.issubdtype(pilot.re.dtype, jnp.integer):
+        from ..golden.io import SC16_FULL_SCALE
+        pilot = CArray(pilot.re.astype(jnp.float32) / SC16_FULL_SCALE,
+                       pilot.im.astype(jnp.float32) / SC16_FULL_SCALE)
+    p = fastpath.fft_permuted(pilot)                   # [A, F]
+    denom = 1.0 / x_full_perm.abs2()
+    hre = (p.re * x_full_perm.re + p.im * x_full_perm.im) * denom
+    him = (p.im * x_full_perm.re - p.re * x_full_perm.im) * denom
+    hsqinv = 1.0 / jnp.sum(hre * hre + him * him, axis=0)
+    eq = fused_pipeline(data, hre, him, hsqinv, ts=ts, interpret=interpret,
+                        exact=exact, schedule=schedule)
+    return to_reference_order(eq, f)
+
+
 def demod_frame_fused(frame: CArray, x_full_perm: CArray, *, cp: int,
                       ts: int | None = None, interpret=None,
                       exact: bool = True, schedule: str = "g2",

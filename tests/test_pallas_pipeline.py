@@ -244,3 +244,64 @@ def test_fuse_estimate_matches_golden_and_base(rng):
                             fuse_estimate=True).to_numpy()
     err16 = np.max(np.abs(g16 - b16)) / np.max(np.abs(b16))
     assert err16 < 5e-5, err16
+
+
+def test_demod_parts_matches_whole_frame(rng):
+    """Pre-split (pilot, data) entry == whole-frame result, for f32 and
+    int16 inputs, 3-D and kernel-native 4-D data layouts."""
+    import jax.numpy as jnp
+
+    from ofdm_ls_mrc_tpu.ops.pallas_pipeline import (
+        demod_parts_fused,
+        fused_frame_shape,
+    )
+
+    s = 9
+    frame = (0.1 * crandn(rng, (s, A, F))).astype(np.complex64)
+    pilot = np.exp(2j * np.pi * rng.random(F - 1)).astype(np.complex64)
+    x_perm = fastpath.prepare_pilot_fast(pilot, F)
+    c = CArray.from_numpy(frame)
+    whole = demod_frame_fused(c, x_perm, cp=0, interpret=True).to_numpy()
+    parts3 = demod_parts_fused(c[0], c[1:], x_perm,
+                               interpret=True).to_numpy()
+    np.testing.assert_allclose(parts3, whole, atol=1e-6)
+    shape4 = fused_frame_shape(s - 1, A, F)
+    d4 = CArray(np.asarray(c.re[1:]).reshape(shape4),
+                np.asarray(c.im[1:]).reshape(shape4))
+    parts4 = demod_parts_fused(c[0], d4, x_perm, interpret=True).to_numpy()
+    np.testing.assert_allclose(parts4, whole, atol=1e-6)
+
+    # int16 planes end to end (pilot widened on the XLA side).
+    q = np.round(frame.view(np.float32) * 32767).astype(np.int16)
+    re16 = np.ascontiguousarray(q.reshape(s, A, F, 2)[..., 0])
+    im16 = np.ascontiguousarray(q.reshape(s, A, F, 2)[..., 1])
+    ci = CArray(jnp.asarray(re16), jnp.asarray(im16))
+    whole16 = demod_frame_fused(ci, x_perm, cp=0, interpret=True).to_numpy()
+    parts16 = demod_parts_fused(ci[0], ci[1:], x_perm,
+                                interpret=True).to_numpy()
+    np.testing.assert_allclose(parts16, whole16, atol=1e-6)
+
+
+def test_receiver_demod_parts_api(rng):
+    """UplinkReceiver.demod_parts: same result as demod_frame; loud
+    rejection outside the fused/CP-free combination."""
+    import pytest
+
+    from ofdm_ls_mrc_tpu.config import FrameConfig
+    from ofdm_ls_mrc_tpu.models import UplinkReceiver
+
+    cfg = FrameConfig(num_antennas=A, fft_size=F, cyclic_prefix=0,
+                      frame_len=5)
+    pilot = np.exp(2j * np.pi * rng.random(F - 1)).astype(np.complex64)
+    frame = crandn(rng, (cfg.frame_len, A, F))
+    rx = UplinkReceiver(cfg, pilot, fft_impl="four_step", pipeline="fused")
+    whole = rx.demod_frame(frame).to_numpy()
+    parts = rx.demod_parts(frame[0], frame[1:]).to_numpy()
+    np.testing.assert_allclose(parts, whole, atol=1e-6)
+
+    cfg_cp = FrameConfig(num_antennas=A, fft_size=F, cyclic_prefix=8,
+                         frame_len=5)
+    rx_cp = UplinkReceiver(cfg_cp, pilot, fft_impl="four_step",
+                           pipeline="fused")
+    with pytest.raises(ValueError, match="demod_parts"):
+        rx_cp.demod_parts(frame[0], frame[1:])
