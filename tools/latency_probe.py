@@ -15,12 +15,19 @@ time is the honest capability number for the ts=1 program (on a local TPU
 host the dispatch overhead is ~us and this is the latency floor).
 
 Usage:  python tools/latency_probe.py [--bodies fused,composed]
+                                      [--record LATENCY.json]
+
+With --record, each body's result is written to a JSON book keyed by
+"<body>-<A>ant-fft<F>" with a ratcheting "best" (lowest us/symbol ever
+recorded) -- the committed artifact for the low-latency capability claim,
+mirroring BENCH_MODES.json for throughput modes.
 """
 
 from __future__ import annotations
 
 import argparse
 import functools
+import json
 import os
 import sys
 import time
@@ -40,6 +47,10 @@ def main():
     ap.add_argument("--r-hi", type=int, default=101)
     ap.add_argument("--antennas", type=int, default=16)
     ap.add_argument("--fft", type=int, default=1024)
+    ap.add_argument("--record", default=None, metavar="FILE",
+                    help="update a per-body latency record book "
+                         "(LATENCY.json); 'best' ratchets to the lowest "
+                         "us/symbol ever recorded")
     args = ap.parse_args()
 
     import jax
@@ -115,6 +126,26 @@ def main():
         t = measure(body)
         print(f"{body:10s} {t*1e6:8.2f} us/symbol  "
               f"({a * f / t / 1e9:6.2f} Gs/s at ts=1)", flush=True)
+        if args.record:
+            key = f"{body}-{a}ant-fft{f}"
+            book = {}
+            if os.path.exists(args.record):
+                with open(args.record) as fh:
+                    book = json.load(fh)
+            prev = book.get(key, {}).get("best", float("inf"))
+            book[key] = {
+                "body": body,
+                "metric": "device_us_per_symbol_ts1",
+                "value": round(t * 1e6, 3),
+                "best": round(min(prev, t * 1e6), 3),
+                "unit": "us",
+                "gs_per_s_at_ts1": round(a * f / t / 1e9, 2),
+                "config": {"antennas": a, "fft": f, "batch": k,
+                           "r_hi": args.r_hi},
+            }
+            with open(args.record, "w") as fh:
+                json.dump(book, fh, indent=1, sort_keys=True)
+                fh.write("\n")
 
 
 if __name__ == "__main__":

@@ -50,3 +50,5 @@ python tools/gate.py
 #   python tools/gate.py --skip-accuracy --skip-perf --modes
 # Refresh the mode records after a perf improvement with:
 #   python bench.py [mode flags] --record BENCH_MODES.json
+# Per-symbol (ts=1) latency record:
+#   python tools/latency_probe.py --record LATENCY.json
