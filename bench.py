@@ -127,7 +127,7 @@ def psum_payload_bytes(cfg, n_time: int) -> int:
 
 def bench_sharded(cfg, pilot, frames: np.ndarray, reps: int,
                   mesh_shape, pipeline: str = "fast", r_hi: int = 101,
-                  input_dtype: str = "f32") -> float:
+                  input_dtype: str = "f32", exact: bool = True) -> float:
     """Seconds per frame for the SHARDED receiver over an (ant, time) mesh.
 
     Same elision-proof R-loop as bench_tpu, with the frame pre-split into
@@ -151,7 +151,8 @@ def bench_sharded(cfg, pilot, frames: np.ndarray, reps: int,
         raise SystemExit(f"--mesh {n_ant}x{n_time} needs {ndev} devices, "
                          f"have {len(devs)}")
     mesh = make_mesh(n_ant, n_time, devices=devs[:ndev])
-    rx = ShardedUplinkReceiver(cfg, pilot, mesh, pipeline=pipeline)
+    rx = ShardedUplinkReceiver(cfg, pilot, mesh, pipeline=pipeline,
+                               exact=exact)
 
     k = frames.shape[0]
     c = CArray.from_numpy(frames)                      # [K, S, A, N]
@@ -370,7 +371,8 @@ def main():
         n_ant, n_time = (int(v) for v in args.mesh.lower().split("x"))
         t_tpu = bench_sharded(dev_cfg, pilot, dev_frames, args.reps,
                               (n_ant, n_time), pipeline=args.pipeline,
-                              input_dtype=input_dtype)
+                              input_dtype=input_dtype,
+                              exact=(args.kernel_precision == "exact"))
         t_gold = bench_golden(cfg, pilot, frames[0], args.golden_reps)
         sps = samples_per_frame / t_tpu
         sps_gold = samples_per_frame / t_gold

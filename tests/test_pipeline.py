@@ -188,6 +188,19 @@ def test_bench_sharded_harness_smoke(rng):
                       pipeline="fast", r_hi=3)
     assert t > 0
 
+    # The fused shard body honors the kernel-precision flag (exact=False is
+    # the bf16 speed mode): plumbed bench.py -> ShardedUplinkReceiver.
+    cfg_f = FrameConfig(num_antennas=4, fft_size=256, cyclic_prefix=0,
+                        frame_len=3)
+    pilot_f = np.exp(2j * np.pi * rng.random(cfg_f.num_subcarriers)
+                     ).astype(np.complex64)
+    frames_f = (rng.standard_normal((1, 3, 4, 256))
+                + 1j * rng.standard_normal((1, 3, 4, 256))
+                ).astype(np.complex64)
+    t_f = bench_sharded(cfg_f, pilot_f, frames_f, reps=1, mesh_shape=(2, 1),
+                        pipeline="fused", r_hi=3, exact=False)
+    assert t_f > 0
+
 
 def test_gate_mode_book_and_cli(tmp_path):
     """gate.py's per-mode ratchet plumbing: the record book round-trips and
