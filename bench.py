@@ -25,9 +25,55 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
+import subprocess
+import sys
 import time
 
 import numpy as np
+
+
+_PROBE_CODE = "import jax; jax.devices()"
+
+
+def wait_for_device(attempts: int = 6, probe_timeout: float = 60.0,
+                    sleep_s: float = 20.0) -> bool:
+    """Pre-flight for claim-based single-chip backends (axon): wait until
+    PJRT init succeeds before touching jax in THIS process.
+
+    The axon chip is granted through a relay; a stale claim (e.g. a killed
+    process whose grant has not expired yet) makes in-process PJRT init HANG
+    indefinitely rather than fail.  Probing init in a disposable subprocess
+    keeps the bench process un-wedgeable and rides out claim expiry.  Bounded:
+    ~attempts * (probe_timeout + sleep_s) worst case, then the caller
+    proceeds anyway (so behavior on a healthy backend is unchanged).
+
+    Returns True when a probe succeeded, False when the budget ran out.
+    Skipped (True) unless the session targets the axon platform, and under
+    OFDM_BENCH_NO_WAIT=1.
+    """
+    if "axon" not in os.environ.get("JAX_PLATFORMS", ""):
+        return True
+    if os.environ.get("OFDM_BENCH_NO_WAIT") == "1":
+        return True
+    for i in range(attempts):
+        try:
+            r = subprocess.run([sys.executable, "-c", _PROBE_CODE],
+                               timeout=probe_timeout, capture_output=True)
+            if r.returncode == 0:
+                if i:
+                    print(f"bench: device available after {i + 1} probes",
+                          file=sys.stderr)
+                return True
+        except subprocess.TimeoutExpired:
+            pass
+        print(f"bench: device-init probe {i + 1}/{attempts} failed "
+              f"(chip claim busy or tunnel down); retrying in {sleep_s:.0f}s",
+              file=sys.stderr)
+        time.sleep(sleep_s)
+    print("bench: device never became available; attempting init anyway",
+          file=sys.stderr)
+    return False
 
 
 def _make_repeated(demod_xp, reps: int):
@@ -292,6 +338,8 @@ def main():
                          "device = CP-carrying frames sliced on-chip "
                          "(harder workload, counts CP samples in the metric)")
     args = ap.parse_args()
+
+    wait_for_device()
 
     from ofdm_ls_mrc_tpu import FrameConfig
     from ofdm_ls_mrc_tpu.ops import fft as fft_ops

@@ -202,6 +202,33 @@ def test_bench_sharded_harness_smoke(rng):
     assert t_f > 0
 
 
+def test_wait_for_device_preflight(monkeypatch):
+    """bench.wait_for_device: no-op off the axon platform; honors the
+    opt-out; retries (bounded) through failing subprocess probes and
+    succeeds as soon as one passes -- the guard against a stale chip claim
+    hanging PJRT init in-process."""
+    import bench
+
+    # Non-axon session: never probes.
+    monkeypatch.setenv("JAX_PLATFORMS", "cpu")
+    monkeypatch.setattr(bench, "_PROBE_CODE", "raise SystemExit(1)")
+    assert bench.wait_for_device(attempts=1, probe_timeout=5, sleep_s=0)
+
+    # axon + opt-out: never probes.
+    monkeypatch.setenv("JAX_PLATFORMS", "axon")
+    monkeypatch.setenv("OFDM_BENCH_NO_WAIT", "1")
+    assert bench.wait_for_device(attempts=1, probe_timeout=5, sleep_s=0)
+    monkeypatch.delenv("OFDM_BENCH_NO_WAIT")
+
+    # Failing probes exhaust the bounded budget and report False (the
+    # caller proceeds anyway).
+    assert not bench.wait_for_device(attempts=2, probe_timeout=5, sleep_s=0)
+
+    # A passing probe returns True.
+    monkeypatch.setattr(bench, "_PROBE_CODE", "pass")
+    assert bench.wait_for_device(attempts=1, probe_timeout=30, sleep_s=0)
+
+
 def test_gate_mode_book_and_cli(tmp_path):
     """gate.py's per-mode ratchet plumbing: the record book round-trips and
     _mode_cli reconstructs the exact bench invocation (VERDICT r2: per-mode
