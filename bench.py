@@ -173,14 +173,18 @@ def psum_payload_bytes(cfg, n_time: int) -> int:
 
 def bench_sharded(cfg, pilot, frames: np.ndarray, reps: int,
                   mesh_shape, pipeline: str = "fast", r_hi: int = 101,
-                  input_dtype: str = "f32", exact: bool = True) -> float:
+                  input_dtype: str = "f32", exact: bool = True,
+                  entry: str = "split") -> float:
     """Seconds per frame for the SHARDED receiver over an (ant, time) mesh.
 
-    Same elision-proof R-loop as bench_tpu, with the frame pre-split into
-    (pilot, data) and placed with the mesh shardings so the timed program
-    contains no input resharding -- only the pipeline body and its single
-    fused psum over the ``ant`` axis.  ``input_dtype='sc16'`` places planar
-    int16 shards (fused body only; the kernel widens in VMEM).
+    Same elision-proof R-loop as bench_tpu, with inputs placed with the mesh
+    shardings so the timed program contains no input resharding -- only the
+    pipeline body and its single fused psum over the ``ant`` axis.
+    ``input_dtype='sc16'`` places planar int16 shards (fused body only; the
+    kernel widens in VMEM).  ``entry='split'`` pre-splits each frame into
+    (pilot, data); ``entry='whole'`` (fused, cp=0, time_shards==1) places
+    whole kernel-native frames and slices the pilot in-shard, mirroring the
+    unsharded bench's whole-frame form.
     """
     import jax
     import jax.numpy as jnp
@@ -211,7 +215,21 @@ def bench_sharded(cfg, pilot, frames: np.ndarray, reps: int,
                                  -SC16_FULL_SCALE,
                                  SC16_FULL_SCALE).astype(np.int16)
         c = CArray(to16(c.re), to16(c.im))
-    if rx.pipeline == "fused" and cfg.cyclic_prefix == 0:
+    if entry == "whole":
+        if rx._demod_whole is None:
+            raise SystemExit("--sharded-entry whole needs the fused shard "
+                             "body, cp=0 and time_shards == 1")
+        from ofdm_ls_mrc_tpu.ops.fastpath import _fast_split
+        n1, n2 = _fast_split(cfg.fft_size)
+        s, a = cfg.frame_len, cfg.num_antennas
+        fs = NamedSharding(mesh, P(None, None, ANT_AXIS, None, None))
+        frames5 = CArray(
+            jax.device_put(np.ascontiguousarray(c.re.reshape(k, s, a, n1, n2)), fs),
+            jax.device_put(np.ascontiguousarray(c.im.reshape(k, s, a, n1, n2)), fs))
+        scan_xs = (frames5,)
+        demodw = rx._demod_whole
+        call = lambda xs, xpc: demodw(xs[0], xpc)
+    elif rx.pipeline == "fused" and cfg.cyclic_prefix == 0:
         # Kernel-native placement: frames enter shard_map in the fused
         # kernel's own [.., A, n1, n2] layout (a free host-side reshape), so
         # the sharded body pays no per-frame operand re-tiling copy -- the
@@ -229,6 +247,8 @@ def bench_sharded(cfg, pilot, frames: np.ndarray, reps: int,
         datas = CArray(jax.device_put(np.ascontiguousarray(re4[:, 1:]), ds),
                        jax.device_put(np.ascontiguousarray(im4[:, 1:]), ds))
         demod = rx._demod4
+        scan_xs = (pilots, datas)
+        call = lambda xs, xpc: demod(xs[0], xs[1], xpc)
     else:
         ps = NamedSharding(mesh, P(None, ANT_AXIS, None))
         ds = NamedSharding(mesh, P(None, TIME_AXIS, ANT_AXIS, None))
@@ -237,28 +257,29 @@ def bench_sharded(cfg, pilot, frames: np.ndarray, reps: int,
         datas = CArray(jax.device_put(np.ascontiguousarray(c.re[:, 1:]), ds),
                        jax.device_put(np.ascontiguousarray(c.im[:, 1:]), ds))
         demod = rx._demod
+        scan_xs = (pilots, datas)
+        call = lambda xs, xpc: demod(xs[0], xs[1], xpc)
     xp = rx.x_full
 
     def make(r):
-        def prog(pilots, datas, xpv):
+        def prog(xs, xpv):
             def rep(_, acc):
-                def body(cacc, pd):
-                    p, d = pd
+                def body(cacc, x):
                     xpc = CArray(xpv.re + cacc, xpv.im)
-                    out = demod(p, d, xpc)
+                    out = call(x, xpc)
                     return cacc + (jnp.sum(out.re) + jnp.sum(out.im)) * 1e-20, None
-                cacc, _ = jax.lax.scan(body, acc, (pilots, datas))
+                cacc, _ = jax.lax.scan(body, acc, xs)
                 return cacc
             return jax.lax.fori_loop(0, r, rep, 0.0)
         return jax.jit(prog)
 
     def timed(r):
         f = make(r)
-        float(f(pilots, datas, xp))  # compile + warm
+        float(f(scan_xs, xp))  # compile + warm
         best = float("inf")
         for _ in range(reps):
             t0 = time.perf_counter()
-            float(f(pilots, datas, xp))
+            float(f(scan_xs, xp))
             best = min(best, time.perf_counter() - t0)
         return best
 
@@ -318,6 +339,12 @@ def main():
                          "reference's antenna tree-reduce, "
                          "gpuLS.cu:198-203,247-252).  Reports samples/s/chip "
                          "and the psum payload bytes/frame.")
+    ap.add_argument("--sharded-entry", default="split",
+                    choices=["split", "whole"],
+                    help="--mesh input placement: 'split' pre-splits "
+                         "(pilot, data); 'whole' places kernel-native whole "
+                         "frames and slices the pilot in-shard (fused, cp=0, "
+                         "time_shards=1)")
     ap.add_argument("--fuse-estimate", action="store_true",
                     help="compute the LS channel estimate INSIDE the fused "
                          "kernel (pilot row's stage-2 output at grid step 0 "
@@ -419,6 +446,7 @@ def main():
         n_ant, n_time = (int(v) for v in args.mesh.lower().split("x"))
         t_tpu = bench_sharded(dev_cfg, pilot, dev_frames, args.reps,
                               (n_ant, n_time), pipeline=args.pipeline,
+                              entry=args.sharded_entry,
                               input_dtype=input_dtype,
                               exact=(args.kernel_precision == "exact"))
         t_gold = bench_golden(cfg, pilot, frames[0], args.golden_reps)

@@ -142,6 +142,21 @@ def _sharded_demod_local_fused(pilot: CArray, data: CArray, x_perm: CArray,
     return pallas_pipeline.to_reference_order(eq, f)
 
 
+def _sharded_demod_whole_fused(frame: CArray, x_perm: CArray, *,
+                               exact: bool = True) -> CArray:
+    """Whole-frame fused shard body (time_shards == 1 only): the frame
+    arrives in the kernel-native [S, A_local, n1, n2] layout and the pilot
+    row is sliced IN-SHARD -- the same whole-frame placement the unsharded
+    bench ships (docs/PERF.md r3 negatives: pre-split (pilot, data) entry
+    measured 1-3% slower than whole-frame under shared-compile interleaving;
+    the separate pilot transfer and the lost tile-0 pipelining cost more
+    than the in-jit pilot slice they remove).  sc16 planar int16 frames are
+    accepted; the pilot row widens in the body, data widens in the kernel.
+    """
+    return _sharded_demod_local_fused(frame[0], frame[1:], x_perm,
+                                      cp=0, exact=exact)
+
+
 class ShardedUplinkReceiver:
     """Uplink receiver sharded over an (ant, time) mesh.
 
@@ -228,6 +243,25 @@ class ShardedUplinkReceiver:
                 check_vma=False,
             )
             self._demod4 = jax.jit(mapped4)
+        # Whole-frame kernel-native entry (fused, cp=0, time_shards == 1):
+        # the [S, A, n1, n2] frame enters shard_map whole and the pilot row
+        # is sliced in-shard, mirroring the unsharded bench's whole-frame
+        # placement.  With time sharding the pilot would need replication
+        # over ``time`` while data is split -- one spec cannot express both,
+        # so time_shards > 1 keeps the pre-split (pilot, data) entry.
+        self._demod_whole = None
+        if pipeline == "fused" and cfg.cyclic_prefix == 0 and n_time == 1:
+            whole_body = functools.partial(_sharded_demod_whole_fused,
+                                           exact=exact)
+            mappedw = jax.shard_map(
+                whole_body,
+                mesh=mesh,
+                in_specs=(P(None, ANT_AXIS, None, None),
+                          P()),
+                out_specs=P(TIME_AXIS, None),
+                check_vma=False,
+            )
+            self._demod_whole = jax.jit(mappedw)
         self._demod_capture = None  # built lazily by demod_capture
 
     def demod_frame(self, frame) -> CArray:
@@ -243,6 +277,18 @@ class ShardedUplinkReceiver:
                                  "and cyclic_prefix=0")
             return self._demod4(c[0], c[1:], self.x_full)
         return self._demod(c[0], c[1:], self.x_full)
+
+    def demod_whole(self, frame) -> CArray:
+        """Kernel-native whole frame [S, A, n1, n2] -> [S-1, F-1], pilot row
+        sliced in-shard (fused, cp=0, time_shards == 1 only).  Frames PLACED
+        whole with the antenna sharding need one transfer and keep the
+        kernel's tile-0 pipelining -- the sharded analogue of the unsharded
+        bench's whole-frame form."""
+        if self._demod_whole is None:
+            raise ValueError("demod_whole needs pipeline='fused', "
+                             "cyclic_prefix=0 and time_shards == 1")
+        c = frame if isinstance(frame, CArray) else CArray.from_numpy(frame)
+        return self._demod_whole(c, self.x_full)
 
     def demod_capture(self, frames) -> CArray:
         """[K, S, A, F+cp] capture -> [K, S-1, F-1], one dispatch.

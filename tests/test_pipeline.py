@@ -201,6 +201,12 @@ def test_bench_sharded_harness_smoke(rng):
                         pipeline="fused", r_hi=3, exact=False)
     assert t_f > 0
 
+    # Whole-frame kernel-native entry (--sharded-entry whole): frames are
+    # placed whole and the pilot row is sliced in-shard.
+    t_w = bench_sharded(cfg_f, pilot_f, frames_f, reps=1, mesh_shape=(2, 1),
+                        pipeline="fused", r_hi=3, exact=False, entry="whole")
+    assert t_w > 0
+
 
 def test_wait_for_device_preflight(monkeypatch):
     """bench.wait_for_device: no-op off the axon platform; honors the

@@ -108,6 +108,52 @@ def test_sharded_fused_4d_preshape_matches_golden(rng, devices):
         rx_fast.demod_frame(fr4)
 
 
+def test_sharded_whole_frame_entry(rng, devices):
+    """Whole-frame kernel-native entry (fused, cp=0, time_shards == 1):
+    the [S, A, n1, n2] frame enters shard_map whole and the pilot row is
+    sliced in-shard -- the sharded analogue of the unsharded bench's
+    whole-frame placement.  Matches golden and the pre-split entry,
+    accepts int16 frames, and rejects time-sharded meshes."""
+    from ofdm_ls_mrc_tpu.ops.cplx import CArray
+    from ofdm_ls_mrc_tpu.ops.pallas_pipeline import fused_frame_shape
+
+    cfg = FrameConfig(num_antennas=4, fft_size=1024, cyclic_prefix=0,
+                      frame_len=5)
+    pilot = np.exp(2j * np.pi * rng.random(cfg.num_subcarriers)
+                   ).astype(np.complex64)
+    frame = crandn(rng, (cfg.frame_len, cfg.num_antennas, cfg.symbol_len))
+    mesh = make_mesh(2, 1, devices=jax.devices()[:2])
+    rx = ShardedUplinkReceiver(cfg, pilot, mesh, pipeline="fused")
+    shape4 = fused_frame_shape(cfg.frame_len, cfg.num_antennas, cfg.fft_size)
+    fr4 = CArray(frame.real.astype(np.float32).reshape(shape4),
+                 frame.imag.astype(np.float32).reshape(shape4))
+    want = dsp.demod_frame(frame, pilot, 0)
+    got = rx.demod_whole(fr4).to_numpy()
+    np.testing.assert_allclose(got, want, rtol=3e-3, atol=3e-3)
+    # Same body as the pre-split entry => near-identical numerics.
+    split = rx.demod_frame(fr4).to_numpy()
+    np.testing.assert_allclose(got, split, rtol=1e-6, atol=1e-6)
+
+    # int16 whole frames: pilot row widens in the body, data in the kernel.
+    import jax.numpy as jnp
+    q = np.round(np.clip(frame.view(np.float32) * 3276.7, -32767, 32767)
+                 ).astype(np.int16)
+    sh = frame.shape + (2,)
+    re16 = np.ascontiguousarray(q.reshape(sh)[..., 0]).reshape(shape4)
+    im16 = np.ascontiguousarray(q.reshape(sh)[..., 1]).reshape(shape4)
+    got16 = rx.demod_whole(CArray(jnp.asarray(re16),
+                                  jnp.asarray(im16))).to_numpy()
+    np.testing.assert_allclose(got16, want, rtol=3e-2, atol=3e-2)
+
+    # Time-sharded meshes cannot express pilot replication + data split in
+    # one whole-frame spec; the entry rejects loudly.
+    rx_t = ShardedUplinkReceiver(cfg, pilot,
+                                 make_mesh(2, 2, devices=jax.devices()[:4]),
+                                 pipeline="fused")
+    with pytest.raises(ValueError, match="time_shards"):
+        rx_t.demod_whole(fr4)
+
+
 def test_sharded_fused_falls_back(rng, devices):
     pilot = np.exp(2j * np.pi * rng.random(CFG.num_subcarriers)).astype(np.complex64)
     # The downgrade must be LOUD: a typo'd FFT size silently costing the
