@@ -171,21 +171,13 @@ def psum_payload_bytes(cfg, n_time: int) -> int:
     return (2 * s_local + 1) * cfg.fft_size * 4
 
 
-def bench_sharded(cfg, pilot, frames: np.ndarray, reps: int,
-                  mesh_shape, pipeline: str = "fast", r_hi: int = 101,
-                  input_dtype: str = "f32", exact: bool = True,
-                  entry: str = "split") -> float:
-    """Seconds per frame for the SHARDED receiver over an (ant, time) mesh.
-
-    Same elision-proof R-loop as bench_tpu, with inputs placed with the mesh
-    shardings so the timed program contains no input resharding -- only the
-    pipeline body and its single fused psum over the ``ant`` axis.
-    ``input_dtype='sc16'`` places planar int16 shards (fused body only; the
-    kernel widens in VMEM).  ``entry='split'`` pre-splits each frame into
-    (pilot, data); ``entry='whole'`` (fused, cp=0, time_shards==1) places
-    whole kernel-native frames and slices the pilot in-shard, mirroring the
-    unsharded bench's whole-frame form.
-    """
+def sharded_setup(cfg, pilot, frames: np.ndarray, mesh_shape,
+                  pipeline: str = "fast", input_dtype: str = "f32",
+                  exact: bool = True, entry: str = "split"):
+    """Build the sharded receiver, place inputs with the mesh shardings, and
+    return ``(make, scan_xs, xp)``: ``make(r)`` jits the elision-proof R-rep
+    program over the placed operands.  Shared by bench_sharded and the
+    shared-compile A/B probe (tools/ab_sharded.py)."""
     import jax
     import jax.numpy as jnp
     from jax.sharding import NamedSharding, PartitionSpec as P
@@ -272,6 +264,30 @@ def bench_sharded(cfg, pilot, frames: np.ndarray, reps: int,
                 return cacc
             return jax.lax.fori_loop(0, r, rep, 0.0)
         return jax.jit(prog)
+
+    return make, scan_xs, xp
+
+
+def bench_sharded(cfg, pilot, frames: np.ndarray, reps: int,
+                  mesh_shape, pipeline: str = "fast", r_hi: int = 101,
+                  input_dtype: str = "f32", exact: bool = True,
+                  entry: str = "split") -> float:
+    """Seconds per frame for the SHARDED receiver over an (ant, time) mesh.
+
+    Same elision-proof R-loop as bench_tpu, with inputs placed with the mesh
+    shardings so the timed program contains no input resharding -- only the
+    pipeline body and its single fused psum over the ``ant`` axis.
+    ``input_dtype='sc16'`` places planar int16 shards (fused body only; the
+    kernel widens in VMEM).  ``entry='split'`` pre-splits each frame into
+    (pilot, data); ``entry='whole'`` (fused, cp=0, time_shards==1) places
+    whole kernel-native frames and slices the pilot in-shard, mirroring the
+    unsharded bench's whole-frame form.
+    """
+    make, scan_xs, xp = sharded_setup(cfg, pilot, frames, mesh_shape,
+                                      pipeline=pipeline,
+                                      input_dtype=input_dtype,
+                                      exact=exact, entry=entry)
+    k = frames.shape[0]
 
     def timed(r):
         f = make(r)
