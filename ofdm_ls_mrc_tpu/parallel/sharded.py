@@ -275,6 +275,10 @@ class ShardedUplinkReceiver:
             if self._demod4 is None:
                 raise ValueError("4-D pre-shaped frames need pipeline='fused' "
                                  "and cyclic_prefix=0")
+            if self._demod_whole is not None:
+                # One dispatch instead of two eager pilot/data slices + the
+                # shard_map call: the pilot row slices in-shard.
+                return self._demod_whole(c, self.x_full)
             return self._demod4(c[0], c[1:], self.x_full)
         return self._demod(c[0], c[1:], self.x_full)
 

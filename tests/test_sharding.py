@@ -131,7 +131,9 @@ def test_sharded_whole_frame_entry(rng, devices):
     got = rx.demod_whole(fr4).to_numpy()
     np.testing.assert_allclose(got, want, rtol=3e-3, atol=3e-3)
     # Same body as the pre-split entry => near-identical numerics.
-    split = rx.demod_frame(fr4).to_numpy()
+    # (demod_pilot_data routes 4-D through the pre-split _demod4 entry;
+    # demod_frame on whole 4-D frames now routes through _demod_whole.)
+    split = rx.demod_pilot_data(fr4[0], fr4[1:]).to_numpy()
     np.testing.assert_allclose(got, split, rtol=1e-6, atol=1e-6)
 
     # int16 whole frames: pilot row widens in the body, data in the kernel.
