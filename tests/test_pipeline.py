@@ -265,3 +265,38 @@ def test_gate_mode_book_and_cli(tmp_path):
         assert gate.load_mode_book()["sc16-exact"]["best"] == 28.5e9
     finally:
         gate.MODES_FILE = old
+
+
+def test_gate_latency_ratchet(tmp_path, monkeypatch):
+    """gate.py --latency: the ts=1 record book ratchets DOWN -- a
+    re-measured us/symbol above best*(1+margin) fails, within passes."""
+    import json
+    import os
+    import subprocess
+    import sys
+    sys.path.insert(0, os.path.abspath(
+        os.path.join(os.path.dirname(__file__), "..", "tools")))
+    import gate
+
+    key = "fused-16ant-fft1024"
+    book = {key: {"body": "fused", "best": 7.0, "value": 7.0, "unit": "us",
+                  "config": {"antennas": 16, "fft": 1024, "batch": 256,
+                             "r_hi": 101}}}
+    lat_path = tmp_path / "LATENCY.json"
+    lat_path.write_text(json.dumps(book))
+
+    def fake_run(cmd, **kw):
+        # The probe re-records into the tmp file named by --record.
+        out = cmd[cmd.index("--record") + 1]
+        with open(out, "w") as fh:
+            json.dump({key: {"body": "fused", "best": 7.0,
+                             "value": fake_run.value,
+                             "config": book[key]["config"]}}, fh)
+        return subprocess.CompletedProcess(cmd, 0, "", "")
+
+    monkeypatch.setattr(gate, "LATENCY_FILE", str(lat_path))
+    monkeypatch.setattr(gate.subprocess, "run", fake_run)
+    fake_run.value = 7.5          # within 7.0 * 1.20
+    assert gate.gate_latency() == 0
+    fake_run.value = 9.1          # above the ceiling
+    assert gate.gate_latency() == 1

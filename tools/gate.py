@@ -105,6 +105,53 @@ def gate_modes() -> int:
     return rc
 
 
+LATENCY_FILE = os.path.join(REPO, "LATENCY.json")
+
+
+def gate_latency() -> int:
+    """ts=1 latency ratchet: re-measure every body recorded in LATENCY.json
+    (tools/latency_probe.py) and require each us/symbol to stay within
+    TUNNEL_MARGIN of its best -- the low-latency analogue of gate_modes
+    (latency ratchets DOWN, so the bound is best * (1 + margin))."""
+    if not os.path.exists(LATENCY_FILE):
+        print("[gate] no LATENCY.json: run tools/latency_probe.py --record "
+              "LATENCY.json first", file=sys.stderr)
+        return 1
+    with open(LATENCY_FILE) as fh:
+        book = json.load(fh)
+    groups: dict = {}
+    for key, e in book.items():
+        gk = (e["config"]["antennas"], e["config"]["fft"])
+        groups.setdefault(gk, set()).add(e["body"])
+    rc = 0
+    for (a, f), bodies in sorted(groups.items()):
+        with tempfile.TemporaryDirectory() as td:
+            tmp = os.path.join(td, "lat.json")
+            r = subprocess.run(
+                [sys.executable, os.path.join("tools", "latency_probe.py"),
+                 "--bodies", ",".join(sorted(bodies)),
+                 "--antennas", str(a), "--fft", str(f), "--record", tmp],
+                cwd=REPO, capture_output=True, text=True)
+            if r.returncode != 0:
+                print(f"[gate] latency probe ({a}ant fft{f}) failed:\n"
+                      f"{r.stdout}{r.stderr}", file=sys.stderr)
+                rc = 1
+                continue
+            with open(tmp) as fh:
+                new = json.load(fh)
+        for key, e in new.items():
+            if key not in book:
+                continue
+            ceil = float(book[key]["best"]) * (1.0 + TUNNEL_MARGIN)
+            v = float(e["value"])
+            ok = v <= ceil
+            print(f"[gate] latency {key}: {v:.2f} us vs ceiling {ceil:.2f} "
+                  f"(best {book[key]['best']:.2f} + {TUNNEL_MARGIN*100:.0f}%):"
+                  f" {'PASS' if ok else 'FAIL'}")
+            rc |= 0 if ok else 1
+    return rc
+
+
 def gate_accuracy() -> int:
     import numpy as np
 
@@ -174,6 +221,10 @@ def main() -> int:
                     help="also re-run EVERY mode recorded in "
                          "BENCH_MODES.json against its ratcheting floor "
                          "(slow: one bench per mode, needs the TPU)")
+    ap.add_argument("--latency", action="store_true",
+                    help="also re-measure every ts=1 body recorded in "
+                         "LATENCY.json against its ratcheting ceiling "
+                         "(needs the TPU)")
     args = ap.parse_args()
 
     rc = 0
@@ -183,6 +234,8 @@ def main() -> int:
         rc |= gate_perf()
     if args.modes:
         rc |= gate_modes()
+    if args.latency:
+        rc |= gate_latency()
     print(f"[gate] {'ALL PASS' if rc == 0 else 'REGRESSION DETECTED'}")
     return rc
 
