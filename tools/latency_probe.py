@@ -53,6 +53,9 @@ def main():
                          "us/symbol ever recorded")
     args = ap.parse_args()
 
+    from bench import wait_for_device
+    wait_for_device()
+
     import jax
     import jax.numpy as jnp
 
