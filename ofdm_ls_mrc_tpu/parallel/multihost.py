@@ -55,6 +55,28 @@ def make_multihost_mesh(ant_shards: Optional[int] = None,
     return Mesh(devs, (ANT_AXIS, TIME_AXIS))
 
 
+def global_from_antenna_blocks(local_block: np.ndarray, mesh: Mesh) -> CArray:
+    """Assemble a global ANTENNA-sharded frame from each host's local block.
+
+    The BASELINE config-5 complement to time-block sharding: each host's SDR
+    front-end ingests a SUBSET of the antennas for ALL symbols (64-antenna
+    array split across N hosts), so every process contributes its own
+    [S, A_local, F] -- or kernel-native [S, A_local, n1, n2] -- complex64
+    block, and the global [S, A, ...] array lands antenna-sharded with no
+    cross-host data movement.  Pairs with
+    ``ShardedUplinkReceiver.demod_whole`` on a time_shards==1 mesh: the
+    fused MRC psum is then the only DCN traffic, a fixed
+    (2*S_data + 1) * F fp32 words per frame regardless of antenna count.
+    """
+    spec = P(*((None, ANT_AXIS) + (None,) * (local_block.ndim - 2)))
+    sharding = NamedSharding(mesh, spec)
+    re = np.ascontiguousarray(local_block.real, dtype=np.float32)
+    im = np.ascontiguousarray(local_block.imag, dtype=np.float32)
+    gre = jax.make_array_from_process_local_data(sharding, re)
+    gim = jax.make_array_from_process_local_data(sharding, im)
+    return CArray(gre, gim)
+
+
 def global_from_host_blocks(local_block: np.ndarray, mesh: Mesh) -> CArray:
     """Assemble a global time-sharded array from each host's local block.
 

@@ -144,6 +144,41 @@ def main() -> int:
             / max(np.max(np.abs(want2_local)), 1e-9))
     print(f"[proc {pid}] fused rel err vs golden: {err2:.2e}", flush=True)
     assert err2 < 5e-4, err2
+
+    # Third leg: ANTENNAS across hosts (BASELINE config 5's 64-antenna
+    # split), whole-frame kernel-native entry -- each process contributes
+    # its own antennas' [S, A_local, n1, n2] block for ALL symbols
+    # (global_from_antenna_blocks), the pilot row slices in-shard
+    # (demod_whole), and the fused MRC psum is the only cross-process
+    # traffic.
+    from ofdm_ls_mrc_tpu.ops.pallas_pipeline import fused_frame_shape
+    from ofdm_ls_mrc_tpu.parallel.multihost import global_from_antenna_blocks
+
+    cfg3 = FrameConfig(num_antennas=8, fft_size=1024, cyclic_prefix=0,
+                       frame_len=3)
+    pilot3 = np.exp(2j * np.pi * rng.random(cfg3.num_subcarriers)
+                    ).astype(np.complex64)
+    frame3 = (rng.standard_normal((cfg3.frame_len, cfg3.num_antennas,
+                                   cfg3.symbol_len))
+              + 1j * rng.standard_normal((cfg3.frame_len, cfg3.num_antennas,
+                                          cfg3.symbol_len))
+              ).astype(np.complex64)
+    want3 = dsp.demod_frame(frame3, pilot3, 0)
+    mesh3 = make_multihost_mesh(ant_shards=8, time_shards=1)
+    rx3 = ShardedUplinkReceiver(cfg3, pilot3, mesh3, pipeline="fused")
+    assert rx3._demod_whole is not None
+
+    a_local = cfg3.num_antennas // 2
+    sh4 = fused_frame_shape(cfg3.frame_len, a_local, cfg3.fft_size)
+    block3 = frame3[:, pid * a_local:(pid + 1) * a_local].reshape(sh4)
+    gframe3 = global_from_antenna_blocks(block3, mesh3)
+    out3 = rx3.demod_whole(gframe3)
+    got3 = (np.asarray(out3.re.addressable_shards[0].data)
+            + 1j * np.asarray(out3.im.addressable_shards[0].data))
+    err3 = np.max(np.abs(got3 - want3)) / np.max(np.abs(want3))
+    print(f"[proc {pid}] antenna-sharded whole-frame rel err: {err3:.2e}",
+          flush=True)
+    assert err3 < 5e-4, err3
     return 0
 
 
