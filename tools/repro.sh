@@ -50,5 +50,8 @@ python tools/gate.py
 #   python tools/gate.py --skip-accuracy --skip-perf --modes
 # Refresh the mode records after a perf improvement with:
 #   python bench.py [mode flags] --record BENCH_MODES.json
-# Per-symbol (ts=1) latency record:
+# Per-symbol (ts=1) latency record (and its ratcheting gate):
 #   python tools/latency_probe.py --record LATENCY.json
+#   python tools/gate.py --skip-accuracy --skip-perf --latency
+# Sharded-entry A/B (split vs whole, shared-compile interleaved):
+#   python tools/ab_sharded.py --mesh 1x1
