@@ -111,11 +111,18 @@ def build_parser() -> argparse.ArgumentParser:
                          "Sym_copy_sh_mem.dat dump inside the read path, "
                          "ShMemSymBuff.hpp:355-362)")
     ap.add_argument("--no-timer", action="store_true")
+    from ..utils import compile_cache
+    compile_cache.add_cli(ap)
     return ap
 
 
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
+
+    from ..utils import compile_cache
+    cache_dir = compile_cache.maybe_enable_from_args(args)
+    if cache_dir:
+        print(f"compilation cache: {cache_dir}", file=sys.stderr)
 
     from ..config import FrameConfig
     from ..golden.io import append_output, load_pilot

@@ -50,6 +50,8 @@ def build_parser() -> argparse.ArgumentParser:
                     help="apply the channel to the precoded streams and "
                          "report per-user separation EVM (ZF removes "
                          "inter-user interference)")
+    from ..utils import compile_cache
+    compile_cache.add_cli(ap)
     return ap
 
 
@@ -63,6 +65,9 @@ def load_channel(path: str, f: int, users: int, antennas: int) -> np.ndarray:
 
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
+
+    from ..utils import compile_cache
+    compile_cache.maybe_enable_from_args(args)
 
     from ..config import FrameConfig
     from ..models.downlink import DownlinkTransmitter
