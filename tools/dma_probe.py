@@ -211,6 +211,9 @@ def make_io_fn(variant: str, s: int, a: int, n1: int, n2: int, ts: int,
 
 
 def main():
+    from bench import wait_for_device
+    wait_for_device()
+
     ap = argparse.ArgumentParser()
     ap.add_argument("--variants", default="auto,manual2,manual3")
     ap.add_argument("--batch", type=int, default=20)

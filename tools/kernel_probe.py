@@ -24,6 +24,9 @@ sys.path.insert(0, os.path.abspath(os.path.join(os.path.dirname(__file__),
 
 
 def main():
+    from bench import wait_for_device
+    wait_for_device()
+
     ap = argparse.ArgumentParser()
     ap.add_argument("--schedules", default="block,fine,s1only,s2only")
     ap.add_argument("--bf16", action="store_true",
