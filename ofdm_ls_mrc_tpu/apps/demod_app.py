@@ -111,6 +111,17 @@ def build_parser() -> argparse.ArgumentParser:
                          "Sym_copy_sh_mem.dat dump inside the read path, "
                          "ShMemSymBuff.hpp:355-362)")
     ap.add_argument("--no-timer", action="store_true")
+    ap.add_argument("--distributed", default=None, metavar="HOST:PORT",
+                    help="multi-process antenna-sharded run (jax.distributed "
+                         "coordinator address): each process reads ITS "
+                         "antennas' symbols from its own local ring "
+                         "(--antennas is the GLOBAL count) and the MRC psum "
+                         "is the only cross-process traffic")
+    ap.add_argument("--num-processes", type=int, default=None,
+                    help="--distributed: total process count")
+    ap.add_argument("--process-id", type=int, default=None,
+                    help="--distributed: this process's id (0-based; "
+                         "process 0 writes the output file)")
     from ..utils import compile_cache
     compile_cache.add_cli(ap)
     return ap
@@ -138,6 +149,9 @@ def main(argv=None) -> int:
     ring_cols = args.fft_size + args.cp_size
 
     pilot = load_pilot(args.pilots, cfg.num_subcarriers)
+
+    if args.distributed:
+        return _run_distributed(args, cfg, pilot)
 
     if args.mesh:
         if args.per_symbol:
@@ -388,6 +402,96 @@ def main(argv=None) -> int:
             timer.store_times(args.store_times)
     feed.stop()   # join the reader thread before unmapping the segment
     ring.close()
+    return 0
+
+
+def _run_distributed(args, cfg, pilot) -> int:
+    """Antenna-across-hosts demod: N processes, each reading ITS antennas'
+    symbols (all frame slots) from its OWN local ring -- BASELINE config 5's
+    64-antenna split, the app-level twin of tests/_mh_worker.py leg 3.  The
+    fused MRC psum ((2*S_data+1)*F fp32 words/frame) is the only
+    cross-process traffic (parallel/multihost.py)."""
+    import jax
+
+    from ..golden.io import append_output
+    from ..io.ring import SymbolRing
+    from ..parallel import ShardedUplinkReceiver
+    from ..parallel.multihost import (
+        global_from_antenna_blocks,
+        initialize,
+        make_multihost_mesh,
+    )
+
+    if args.per_symbol or args.mesh or args.sc16_native:
+        print("--distributed is a whole-frame float mode (not --per-symbol/"
+              "--mesh/--sc16-native)", file=sys.stderr)
+        return 2
+    if args.num_frames <= 0:
+        print("--distributed needs a bounded --num-frames", file=sys.stderr)
+        return 2
+    initialize(args.distributed, args.num_processes, args.process_id)
+    nproc = jax.process_count()
+    pid = jax.process_index()
+    if cfg.num_antennas % nproc:
+        print(f"{cfg.num_antennas} global antennas not divisible by {nproc} "
+              f"processes", file=sys.stderr)
+        return 2
+    a_local = cfg.num_antennas // nproc
+    # Antennas shard over every device when the global count divides evenly,
+    # else one shard per process; time stays unsharded so the output is
+    # replicated and the whole-frame in-shard-pilot entry applies.
+    ndev = jax.device_count()
+    ant_shards = ndev if cfg.num_antennas % ndev == 0 else nproc
+    mesh = make_multihost_mesh(ant_shards=ant_shards, time_shards=1)
+    rx = ShardedUplinkReceiver(cfg, pilot, mesh, fft_impl=args.fft_impl,
+                               pipeline=args.pipeline,
+                               exact=(args.kernel_precision == "exact"))
+
+    shape4 = None
+    if rx.pipeline == "fused":
+        from ..ops.pallas_pipeline import fused_frame_shape
+        shape4 = fused_frame_shape(cfg.frame_len, a_local, cfg.fft_size)
+
+    if shape4 is not None:
+        def demod(re_h, im_h):
+            block = (re_h + 1j * im_h).astype(np.complex64).reshape(shape4)
+            return rx.demod_whole(global_from_antenna_blocks(block, mesh))
+    else:
+        def demod(re_h, im_h):
+            block = (re_h + 1j * im_h).astype(np.complex64)
+            gp = global_from_antenna_blocks(block[0], mesh, ant_axis=0)
+            gd = global_from_antenna_blocks(block[1:], mesh)
+            return rx.demod_pilot_data(gp, gd)
+
+    def to_host(out):
+        # time_shards == 1 => the output is replicated on every device.
+        return (np.asarray(out.re.addressable_shards[0].data)
+                + 1j * np.asarray(out.im.addressable_shards[0].data)
+                ).astype(np.complex64)
+
+    # Warm at the live shape BEFORE touching the ring, so the first frame
+    # doesn't stall the producer on a compile.
+    zshape = (cfg.frame_len, a_local, cfg.fft_size)
+    jax.block_until_ready(
+        demod(np.zeros(zshape, np.float32), np.zeros(zshape, np.float32)).re)
+
+    ring = SymbolRing(args.shm_uid, a_local, args.fft_size + args.cp_size,
+                      cfg.frame_len, master=False, timeout=args.timeout,
+                      dtype=args.ring_dtype)
+    rows = 0
+    try:
+        for k in range(args.num_frames):
+            re_h, im_h = ring.read_frame_planar(cfg.frame_len,
+                                                cp=args.cp_size)
+            o = to_host(demod(re_h, im_h))
+            if pid == 0:
+                append_output(args.output, o, truncate=(k == 0))
+            rows += o.shape[0]
+    finally:
+        ring.close()
+    print(f"[proc {pid}] demodulated {rows} data symbols across {nproc} "
+          f"processes x {a_local} antennas ({rx.pipeline} pipeline)",
+          file=sys.stderr)
     return 0
 
 

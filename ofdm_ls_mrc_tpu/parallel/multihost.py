@@ -55,7 +55,8 @@ def make_multihost_mesh(ant_shards: Optional[int] = None,
     return Mesh(devs, (ANT_AXIS, TIME_AXIS))
 
 
-def global_from_antenna_blocks(local_block: np.ndarray, mesh: Mesh) -> CArray:
+def global_from_antenna_blocks(local_block: np.ndarray, mesh: Mesh,
+                               ant_axis: int = 1) -> CArray:
     """Assemble a global ANTENNA-sharded frame from each host's local block.
 
     The BASELINE config-5 complement to time-block sharding: each host's SDR
@@ -67,9 +68,12 @@ def global_from_antenna_blocks(local_block: np.ndarray, mesh: Mesh) -> CArray:
     ``ShardedUplinkReceiver.demod_whole`` on a time_shards==1 mesh: the
     fused MRC psum is then the only DCN traffic, a fixed
     (2*S_data + 1) * F fp32 words per frame regardless of antenna count.
+    ``ant_axis`` names the antenna dimension of the block (0 for a pilot
+    [A_local, F] row, 1 for [S, A_local, ...] frames).
     """
-    spec = P(*((None, ANT_AXIS) + (None,) * (local_block.ndim - 2)))
-    sharding = NamedSharding(mesh, spec)
+    spec_axes = [None] * local_block.ndim
+    spec_axes[ant_axis] = ANT_AXIS
+    sharding = NamedSharding(mesh, P(*spec_axes))
     re = np.ascontiguousarray(local_block.real, dtype=np.float32)
     im = np.ascontiguousarray(local_block.imag, dtype=np.float32)
     gre = jax.make_array_from_process_local_data(sharding, re)

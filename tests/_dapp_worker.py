@@ -1,0 +1,97 @@
+"""Worker for the 2-process demod_app --distributed test.
+
+Each process is one 'host': it owns a local ring master carrying ITS
+antennas' symbols (all frame slots), launches a producer thread, and runs
+the real demod_app CLI in --distributed mode against the shared
+jax.distributed coordinator.  Process 0 verifies the output file against
+the NumPy golden.  Env: MH_COORD, MH_NPROC, MH_PID, DAPP_UID, DAPP_DIR.
+"""
+
+import os
+import sys
+
+os.environ["JAX_PLATFORMS"] = "cpu"
+flags = os.environ.get("XLA_FLAGS", "")
+if "host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=4").strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+
+import numpy as np  # noqa: E402
+
+
+def main() -> int:
+    import threading
+
+    from ofdm_ls_mrc_tpu.apps import demod_app
+    from ofdm_ls_mrc_tpu.golden import dsp
+    from ofdm_ls_mrc_tpu.golden.io import pilot_shift, read_output, write_pilot
+    from ofdm_ls_mrc_tpu.io.ring import SymbolRing
+
+    pid = int(os.environ["MH_PID"])
+    nproc = int(os.environ["MH_NPROC"])
+    uid = f"{os.environ['DAPP_UID']}_{pid}"
+    d = os.environ["DAPP_DIR"]
+    out_path = os.path.join(d, "Output_dist.dat")
+    pilot_path = os.path.join(d, f"Pilots_{pid}.dat")
+
+    a_glob = 8
+    f = int(os.environ.get("DAPP_FFT", "64"))
+    s = int(os.environ.get("DAPP_S", "9"))
+    cp, k = 8, 2
+    rng = np.random.default_rng(321)  # same seed in both processes
+    pilot_raw = np.exp(2j * np.pi * rng.random(f - 1)).astype(np.complex64)
+    write_pilot(pilot_path, pilot_raw)
+    frames = (rng.standard_normal((k, s, a_glob, f + cp))
+              + 1j * rng.standard_normal((k, s, a_glob, f + cp))
+              ).astype(np.complex64)
+
+    a_local = a_glob // nproc
+    w = SymbolRing(uid, a_local, f + cp, s, master=True, timeout=60.0)
+    errs = []
+
+    def produce():
+        try:
+            for ki in range(k):
+                for si in range(s):
+                    w.write(frames[ki, si,
+                                   pid * a_local:(pid + 1) * a_local])
+        except BaseException as e:
+            errs.append(e)
+
+    t = threading.Thread(target=produce)
+    t.start()
+    try:
+        rc = demod_app.main([
+            "--distributed", os.environ["MH_COORD"],
+            "--num-processes", str(nproc), "--process-id", str(pid),
+            "--antennas", str(a_glob), "--fft-size", str(f),
+            "--cp-size", str(cp), "--frame-len", str(s),
+            "--num-frames", str(k), "--shm-uid", uid,
+            "--pilots", pilot_path, "--output", out_path,
+            "--timeout", "60",
+        ])
+        t.join(timeout=30)
+        if errs:
+            raise errs[0]
+        assert rc == 0, f"demod_app rc={rc}"
+    finally:
+        w.close()
+
+    if pid == 0:
+        pilot = pilot_shift(pilot_raw)
+        got = read_output(out_path, f - 1)
+        want = np.concatenate(
+            [dsp.demod_frame(frames[ki], pilot, cp) for ki in range(k)])
+        err = np.max(np.abs(got - want)) / np.max(np.abs(want))
+        print(f"[proc 0] app-distributed rel err vs golden: {err:.2e}",
+              flush=True)
+        assert err < 3e-3, err
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -48,3 +48,44 @@ def test_two_process_distributed_demod():
     for pid, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"proc {pid} failed:\n{out}"
         assert "rel err vs golden" in out
+
+
+import pytest
+
+
+@pytest.mark.parametrize("fft,frame_len", [(64, 9), (1024, 3)],
+                         ids=["fast-presplit", "fused-whole"])
+def test_two_process_distributed_demod_app(tmp_path, fft, frame_len):
+    """The real demod_app CLI in --distributed mode: each process feeds its
+    own ring with ITS antennas' symbols (antenna-across-hosts, BASELINE
+    config 5) and process 0's output file matches the golden chain.  64-point
+    FFT exercises the pre-split fast shard body (loud fused fallback);
+    1024-point engages the fused kernel's whole-frame in-shard-pilot entry."""
+    import uuid
+
+    port = _free_port()
+    env_base = {k: v for k, v in os.environ.items()
+                if k not in ("XLA_FLAGS", "JAX_PLATFORMS")}
+    env_base["PYTHONPATH"] = REPO + os.pathsep + env_base.get("PYTHONPATH", "")
+    uid = f"/dapp_{uuid.uuid4().hex[:8]}"
+    procs = []
+    for pid in range(2):
+        env = dict(env_base, MH_COORD=f"127.0.0.1:{port}", MH_NPROC="2",
+                   MH_PID=str(pid), DAPP_UID=uid, DAPP_DIR=str(tmp_path),
+                   DAPP_FFT=str(fft), DAPP_S=str(frame_len))
+        procs.append(subprocess.Popen(
+            [sys.executable, os.path.join(REPO, "tests", "_dapp_worker.py")],
+            env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+            text=True))
+    outs = []
+    for p in procs:
+        try:
+            out, _ = p.communicate(timeout=240)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            raise
+        outs.append(out)
+    for pid, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"proc {pid} failed:\n{out}"
+    assert "app-distributed rel err vs golden" in outs[0]
