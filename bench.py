@@ -36,19 +36,22 @@ import numpy as np
 _PROBE_CODE = "import jax; jax.devices()"
 
 
-def wait_for_device(attempts: int = 6, probe_timeout: float = 60.0,
-                    sleep_s: float = 20.0) -> bool:
+def wait_for_device(attempts: int = 20, probe_timeout: float = 60.0,
+                    sleep_s: float = 30.0) -> bool:
     """Pre-flight for claim-based single-chip backends (axon): wait until
     PJRT init succeeds before touching jax in THIS process.
 
     The axon chip is granted through a relay; a stale claim (e.g. a killed
     process whose grant has not expired yet) makes in-process PJRT init HANG
     indefinitely rather than fail.  Probing init in a disposable subprocess
-    keeps the bench process un-wedgeable and rides out claim expiry.  Bounded:
-    ~attempts * (probe_timeout + sleep_s) worst case, then the caller
-    proceeds anyway (so behavior on a healthy backend is unchanged).
+    keeps the bench process un-wedgeable and rides out claim expiry.
+    Bounded: ~attempts * (probe_timeout + sleep_s) worst case (defaults
+    ~30 min -- observed outages exceed an hour, and a patient bench that
+    eventually prints JSON beats a fast one that hangs).
 
-    Returns True when a probe succeeded, False when the budget ran out.
+    Returns True when a probe succeeded, False when the budget ran out --
+    callers should FAIL FAST on False (attempting init on a wedged claim
+    hangs forever, which no driver timeout can distinguish from progress).
     Skipped (True) unless the session targets the axon platform, and under
     OFDM_BENCH_NO_WAIT=1.
     """
@@ -71,8 +74,7 @@ def wait_for_device(attempts: int = 6, probe_timeout: float = 60.0,
               f"(chip claim busy or tunnel down); retrying in {sleep_s:.0f}s",
               file=sys.stderr)
         time.sleep(sleep_s)
-    print("bench: device never became available; attempting init anyway",
-          file=sys.stderr)
+    print("bench: device never became available", file=sys.stderr)
     return False
 
 
@@ -382,7 +384,11 @@ def main():
                          "(harder workload, counts CP samples in the metric)")
     args = ap.parse_args()
 
-    wait_for_device()
+    if not wait_for_device():
+        # Touching jax now would hang on the wedged claim; exiting with no
+        # JSON line is the unambiguous failure the caller can act on.
+        raise SystemExit("bench: TPU never became available "
+                         "(stale chip claim or tunnel down)")
 
     from ofdm_ls_mrc_tpu import FrameConfig
     from ofdm_ls_mrc_tpu.ops import fft as fft_ops

@@ -46,7 +46,9 @@ def main():
     args = ap.parse_args()
 
     from bench import sharded_setup, wait_for_device
-    wait_for_device()
+    if not wait_for_device():
+        raise SystemExit("TPU never became available "
+                         "(stale chip claim or tunnel down)")
 
     from ofdm_ls_mrc_tpu.config import FrameConfig
 

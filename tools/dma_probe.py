@@ -212,7 +212,9 @@ def make_io_fn(variant: str, s: int, a: int, n1: int, n2: int, ts: int,
 
 def main():
     from bench import wait_for_device
-    wait_for_device()
+    if not wait_for_device():
+        raise SystemExit("TPU never became available "
+                         "(stale chip claim or tunnel down)")
 
     ap = argparse.ArgumentParser()
     ap.add_argument("--variants", default="auto,manual2,manual3")

@@ -25,7 +25,9 @@ sys.path.insert(0, os.path.abspath(os.path.join(os.path.dirname(__file__),
 
 def main():
     from bench import wait_for_device
-    wait_for_device()
+    if not wait_for_device():
+        raise SystemExit("TPU never became available "
+                         "(stale chip claim or tunnel down)")
 
     ap = argparse.ArgumentParser()
     ap.add_argument("--schedules", default="block,fine,s1only,s2only")

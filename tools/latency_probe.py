@@ -54,7 +54,9 @@ def main():
     args = ap.parse_args()
 
     from bench import wait_for_device
-    wait_for_device()
+    if not wait_for_device():
+        raise SystemExit("TPU never became available "
+                         "(stale chip claim or tunnel down)")
 
     import jax
     import jax.numpy as jnp
