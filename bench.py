@@ -36,7 +36,7 @@ import numpy as np
 _PROBE_CODE = "import jax; jax.devices()"
 
 
-def wait_for_device(attempts: int = 20, probe_timeout: float = 60.0,
+def wait_for_device(attempts: int = 60, probe_timeout: float = 60.0,
                     sleep_s: float = 30.0) -> bool:
     """Pre-flight for claim-based single-chip backends (axon): wait until
     PJRT init succeeds before touching jax in THIS process.
@@ -46,8 +46,9 @@ def wait_for_device(attempts: int = 20, probe_timeout: float = 60.0,
     indefinitely rather than fail.  Probing init in a disposable subprocess
     keeps the bench process un-wedgeable and rides out claim expiry.
     Bounded: ~attempts * (probe_timeout + sleep_s) worst case (defaults
-    ~30 min -- observed outages exceed an hour, and a patient bench that
-    eventually prints JSON beats a fast one that hangs).
+    ~90 min -- observed outages exceed two hours, and a patient bench that
+    eventually prints JSON beats a fast one that hangs; OFDM_BENCH_WAIT_S
+    overrides the budget in seconds).
 
     Returns True when a probe succeeded, False when the budget ran out --
     callers should FAIL FAST on False (attempting init on a wedged claim
@@ -59,6 +60,9 @@ def wait_for_device(attempts: int = 20, probe_timeout: float = 60.0,
         return True
     if os.environ.get("OFDM_BENCH_NO_WAIT") == "1":
         return True
+    budget_s = os.environ.get("OFDM_BENCH_WAIT_S")
+    if budget_s is not None:
+        attempts = max(1, int(float(budget_s) / (probe_timeout + sleep_s)))
     for i in range(attempts):
         try:
             r = subprocess.run([sys.executable, "-c", _PROBE_CODE],

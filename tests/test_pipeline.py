@@ -234,6 +234,16 @@ def test_wait_for_device_preflight(monkeypatch):
     monkeypatch.setattr(bench, "_PROBE_CODE", "pass")
     assert bench.wait_for_device(attempts=1, probe_timeout=30, sleep_s=0)
 
+    # OFDM_BENCH_WAIT_S overrides the budget: a 10 s budget at 5 s/attempt
+    # means 2 attempts, so a failing probe exhausts quickly even when the
+    # caller asked for many attempts.
+    monkeypatch.setattr(bench, "_PROBE_CODE", "raise SystemExit(1)")
+    monkeypatch.setenv("OFDM_BENCH_WAIT_S", "10")
+    import time as _time
+    t0 = _time.perf_counter()
+    assert not bench.wait_for_device(attempts=1000, probe_timeout=5, sleep_s=0)
+    assert _time.perf_counter() - t0 < 60
+
 
 def test_gate_mode_book_and_cli(tmp_path):
     """gate.py's per-mode ratchet plumbing: the record book round-trips and
