@@ -24,15 +24,17 @@ from ..golden import dsp
 _QPSK = np.array([1 + 1j, -1 + 1j, 1 - 1j, -1 - 1j], dtype=np.complex64) / np.sqrt(2)
 
 
-def _qam16_points() -> np.ndarray:
-    levels = np.array([-3, -1, 1, 3], dtype=np.float32)
+def _square_qam_points(m_side: int) -> np.ndarray:
+    """Unit-average-power square QAM (m_side points per rail)."""
+    levels = np.arange(-(m_side - 1), m_side, 2, dtype=np.float32)
     pts = (levels[:, None] + 1j * levels[None, :]).reshape(-1)
-    return (pts / np.sqrt(10)).astype(np.complex64)
+    return (pts / np.sqrt(np.mean(np.abs(pts) ** 2))).astype(np.complex64)
 
 
-_QAM16 = _qam16_points()
+_QAM16 = _square_qam_points(4)
+_QAM64 = _square_qam_points(8)
 
-CONSTELLATIONS = {"qpsk": _QPSK, "16qam": _QAM16}
+CONSTELLATIONS = {"qpsk": _QPSK, "16qam": _QAM16, "64qam": _QAM64}
 
 
 def map_symbols(bits_or_idx: np.ndarray, scheme: str = "qpsk") -> np.ndarray:

@@ -98,6 +98,22 @@ class TestEndToEnd:
         out_natural = np.fft.fftshift(out, axes=-1)
         assert evm_db(out_natural, data) < -20.0
 
+    @pytest.mark.parametrize("scheme", ["qpsk", "16qam", "64qam"])
+    def test_constellation_loopback_zero_ser(self, rng, scheme):
+        """Every constellation has unit average power and survives a 30 dB
+        multipath channel with zero symbol errors after hard demap."""
+        from ofdm_ls_mrc_tpu.sim import CONSTELLATIONS, demap_symbols
+        const = CONSTELLATIONS[scheme]
+        assert np.mean(np.abs(const) ** 2) == pytest.approx(1.0, rel=1e-6)
+        a, f, cp, s = 8, 128, 16, 9
+        data, idx = random_symbols(rng, (s - 1, f - 1), scheme)
+        pilot = np.exp(2j * np.pi * rng.random(f - 1)).astype(np.complex64)
+        rx = ChannelModel(num_antennas=a, fft_size=f, num_taps=4,
+                          snr_db=30.0, seed=3).apply(make_tx_frame(data, pilot, cp), cp)
+        out = np.fft.fftshift(dsp.demod_frame(rx, pilot, cp), axes=-1)
+        got = demap_symbols(out, scheme)
+        assert np.array_equal(got, idx % const.size)
+
     def test_noiseless_loopback_is_exact(self, rng):
         a, f, cp, s = 2, 64, 8, 5
         data, _ = random_symbols(rng, (s - 1, f - 1), "qpsk")
