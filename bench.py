@@ -36,6 +36,19 @@ import numpy as np
 _PROBE_CODE = "import jax; jax.devices()"
 
 
+def _configured_platforms():
+    """The in-process jax_platforms override, if jax is imported and the
+    caller set one (None otherwise) -- reads sys.modules so merely asking
+    does not import jax in processes that must stay jax-free pre-probe."""
+    jx = sys.modules.get("jax")
+    if jx is None:
+        return None
+    try:
+        return jx.config.jax_platforms
+    except Exception:
+        return None
+
+
 def wait_for_device(attempts: int = 60, probe_timeout: float = 60.0,
                     sleep_s: float = 30.0) -> bool:
     """Pre-flight for claim-based single-chip backends (axon): wait until
@@ -54,11 +67,17 @@ def wait_for_device(attempts: int = 60, probe_timeout: float = 60.0,
     callers should FAIL FAST on False (attempting init on a wedged claim
     hangs forever, which no driver timeout can distinguish from progress).
     Skipped (True) unless the session targets the axon platform, and under
-    OFDM_BENCH_NO_WAIT=1.
+    OFDM_BENCH_NO_WAIT=1.  Also skipped when the caller already forced a
+    non-axon platform in-process (``jax.config.update("jax_platforms",
+    "cpu")`` -- the repro/dryrun path): the probe subprocess would test the
+    axon chip the caller is deliberately not using.
     """
     if "axon" not in os.environ.get("JAX_PLATFORMS", ""):
         return True
     if os.environ.get("OFDM_BENCH_NO_WAIT") == "1":
+        return True
+    plats = _configured_platforms()
+    if plats and "axon" not in plats:
         return True
     budget_s = os.environ.get("OFDM_BENCH_WAIT_S")
     if budget_s is not None:

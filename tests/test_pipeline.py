@@ -226,6 +226,13 @@ def test_wait_for_device_preflight(monkeypatch):
     assert bench.wait_for_device(attempts=1, probe_timeout=5, sleep_s=0)
     monkeypatch.delenv("OFDM_BENCH_NO_WAIT")
 
+    # axon env but the caller forced CPU in-process (the repro/dryrun path):
+    # never probes -- the suite's conftest really did set jax_platforms=cpu.
+    assert bench._configured_platforms() == "cpu"
+    assert bench.wait_for_device(attempts=1, probe_timeout=5, sleep_s=0)
+    # The remaining branches exercise the probing path: pretend no override.
+    monkeypatch.setattr(bench, "_configured_platforms", lambda: None)
+
     # Failing probes exhaust the bounded budget and report False (the
     # caller proceeds anyway).
     assert not bench.wait_for_device(attempts=2, probe_timeout=5, sleep_s=0)
