@@ -25,6 +25,7 @@ import numpy as np
 
 
 def build_parser() -> argparse.ArgumentParser:
+    from ..sim.channel import CONSTELLATIONS
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--users", type=int, default=4,
                     help="spatially multiplexed user streams (numUsers)")
@@ -44,7 +45,7 @@ def build_parser() -> argparse.ArgumentParser:
                     help="downlink channel file: complex64 [F-1, U, A]")
     ap.add_argument("--simulate-channel", action="store_true",
                     help="draw a random iid channel instead of --channel")
-    ap.add_argument("--modulation", default="qpsk", choices=["qpsk", "16qam"])
+    ap.add_argument("--modulation", default="qpsk", choices=sorted(CONSTELLATIONS))
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--verify", action="store_true",
                     help="apply the channel to the precoded streams and "

@@ -21,6 +21,7 @@ import numpy as np
 
 
 def build_parser() -> argparse.ArgumentParser:
+    from ..sim.channel import CONSTELLATIONS
     ap = argparse.ArgumentParser(description=__doc__)
     # Reference CLI surface (tx_same_seq_no_udp.cpp:94-121).  rate/freq/
     # gain/bw accept per-channel comma lists; scalars broadcast like the
@@ -75,7 +76,7 @@ def build_parser() -> argparse.ArgumentParser:
                          "SNR (dB); output becomes [antennas, N]")
     ap.add_argument("--channel-taps", type=int, default=8)
     ap.add_argument("--seed", type=int, default=0)
-    ap.add_argument("--modulation", default="qpsk", choices=["qpsk", "16qam"])
+    ap.add_argument("--modulation", default="qpsk", choices=sorted(CONSTELLATIONS))
     return ap
 
 
