@@ -198,11 +198,11 @@ def main(argv=None) -> int:
             if not continuous and base + frame_samps > samples.shape[1]:
                 print(f"capture exhausted after {f} frame(s)")
                 break
-            for s in range(args.frame_len):
-                sym = samples[:, base + s * sym_len: base + (s + 1) * sym_len]
-                ring.write(np.ascontiguousarray(sym), wait=args.wait_writes,
-                           timeout=args.timeout)
-                wrote += 1
+            fr = samples[:, base: base + frame_samps]
+            burst = np.ascontiguousarray(
+                fr.reshape(n_ch, args.frame_len, sym_len).transpose(1, 0, 2))
+            wrote += ring.write_batch(burst, wait=args.wait_writes,
+                                      timeout=args.timeout)
             frames_sent += 1
             f += 1
         if args.dump_aligned:
@@ -265,11 +265,13 @@ def _run_continuous_sync(args, samples: np.ndarray, sym_len: int,
                 fr = q.get()
                 if fr is None:
                     return
-                for s in range(args.frame_len):
-                    ring.write(
-                        np.ascontiguousarray(fr[:, s * sym_len:(s + 1) * sym_len]),
-                        wait=args.wait_writes, timeout=args.timeout)
-                    state["written"] += 1
+                # [n_ch, S*L] -> [S, n_ch, L] burst; ONE native call per
+                # frame (write_batch) instead of one per symbol -- per-call
+                # overhead is the write leg's dominant cost (docs/PERF.md).
+                burst = np.ascontiguousarray(
+                    fr.reshape(n_ch, args.frame_len, sym_len).transpose(1, 0, 2))
+                state["written"] += ring.write_batch(
+                    burst, wait=args.wait_writes, timeout=args.timeout)
         except RingShutdown:
             state["err"] = "reader shut the ring down"
         except BaseException as e:  # surface ring errors to the main thread

@@ -86,6 +86,14 @@ def _load() -> ctypes.CDLL:
         lib.ring_write_sc16.argtypes = [ctypes.c_void_p,
                                         ctypes.POINTER(ctypes.c_int16),
                                         ctypes.c_int, ctypes.c_double]
+        lib.ring_write_batch.restype = ctypes.c_int
+        lib.ring_write_batch.argtypes = [ctypes.c_void_p, fptr, ctypes.c_int,
+                                         ctypes.c_int, ctypes.c_double]
+        lib.ring_write_batch_sc16.restype = ctypes.c_int
+        lib.ring_write_batch_sc16.argtypes = [ctypes.c_void_p,
+                                              ctypes.POINTER(ctypes.c_int16),
+                                              ctypes.c_int, ctypes.c_int,
+                                              ctypes.c_double]
         for name in ("ring_read_next", "ring_read_last"):
             fn = getattr(lib, name)
             fn.restype = ctypes.c_int
@@ -203,6 +211,55 @@ class SymbolRing:
             return False
         _check(rc, "ring_write")
         return True
+
+    def write_batch(self, symbols: np.ndarray, wait: bool = True,
+                    timeout: Optional[float] = None) -> int:
+        """Write n contiguous symbols in ONE native call; returns the count
+        actually written.
+
+        The producer analogue of ``read_frame_planar``: an ingest process
+        extracts many symbols per radio recv buffer, and per-symbol
+        ``write`` calls pay ~30 us of foreign-call overhead each against
+        ~4 us of memcpy (docs/PERF.md "Host ring ingest profile").
+
+        ``symbols`` is [n, rows, cols] complex64, or on an sc16 ring either
+        [n, rows, 2*cols] int16 (interleaved IQ off the wire) or complex64
+        (converted here).  wait=False never blocks: full-ring symbols are
+        dropped and counted (the reference's writeNextSymbolNoWait
+        semantics, per symbol), and the returned count may be < n.
+        """
+        if self.dtype == "sc16":
+            symbols = np.asarray(symbols)
+            if symbols.dtype == np.int16:
+                syms = np.ascontiguousarray(symbols)
+                if syms.ndim != 3 or syms.shape[1:] != (self.rows,
+                                                        2 * self.cols):
+                    raise ValueError(f"sc16 batch shape {syms.shape} != "
+                                     f"(n, {self.rows}, {2 * self.cols})")
+            else:
+                from ..golden.io import complex_to_sc16
+                c = np.ascontiguousarray(symbols, dtype=np.complex64)
+                if c.ndim != 3 or c.shape[1:] != (self.rows, self.cols):
+                    raise ValueError(f"batch shape {c.shape} != "
+                                     f"(n, {self.rows}, {self.cols})")
+                syms = complex_to_sc16(c)
+            rc = self._lib.ring_write_batch_sc16(
+                self._handle,
+                syms.ctypes.data_as(ctypes.POINTER(ctypes.c_int16)),
+                syms.shape[0], 1 if wait else 0, timeout or self._timeout)
+        else:
+            syms = np.ascontiguousarray(symbols, dtype=np.complex64)
+            if syms.ndim != 3 or syms.shape[1:] != (self.rows, self.cols):
+                raise ValueError(f"batch shape {syms.shape} != "
+                                 f"(n, {self.rows}, {self.cols})")
+            buf = syms.view(np.float32)
+            rc = self._lib.ring_write_batch(
+                self._handle,
+                buf.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+                syms.shape[0], 1 if wait else 0, timeout or self._timeout)
+        if rc < 0:
+            _check(rc, "ring_write_batch")
+        return rc
 
     # -- consumer side ---------------------------------------------------------
     def _read(self, fn, cp: int, planar: bool, timeout: Optional[float]):

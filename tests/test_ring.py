@@ -236,6 +236,44 @@ class TestBatchRead:
             r.read_frame_planar(2, cp=0, timeout=0.2)
 
 
+class TestBatchWrite:
+    def test_write_batch_matches_per_symbol(self, pair, rng):
+        w, r = pair
+        batch = np.stack([_sym(rng) for _ in range(LEN - 1)])
+        assert w.write_batch(batch) == LEN - 1
+        re, im = r.read_frame_planar(LEN - 1, cp=CP)
+        np.testing.assert_array_equal(re + 1j * im, batch[:, :, CP:])
+
+    def test_write_batch_shape_checked(self, pair, rng):
+        w, _ = pair
+        with pytest.raises(ValueError):
+            w.write_batch(_sym(rng))  # 2-D: not a batch
+        with pytest.raises(ValueError):
+            w.write_batch(np.zeros((2, ROWS, COLS + 1), np.complex64))
+
+    def test_write_batch_no_wait_drops_and_counts(self, pair, rng):
+        w, r = pair
+        batch = np.stack([_sym(rng) for _ in range(LEN - 1)])
+        assert w.write_batch(batch, wait=False) == LEN - 1
+        # Ring now holds LEN-1 of LEN slots: one more fits, the rest drop.
+        wrote = w.write_batch(batch, wait=False)
+        assert wrote == 1
+        assert w.dropped == LEN - 2
+        re, _ = r.read_frame_planar(LEN, cp=CP)
+        np.testing.assert_array_equal(re[-1], batch[0].real[:, CP:])
+
+    def test_write_batch_wait_times_out_with_prefix(self, pair, rng):
+        w, r = pair
+        batch = np.stack([_sym(rng) for _ in range(LEN - 1)])
+        assert w.write_batch(batch) == LEN - 1
+        # One free slot left: the waiting batch lands a prefix then times out.
+        with pytest.raises(RingTimeout):
+            w.write_batch(batch[:2], timeout=0.2)
+        re, im = r.read_frame_planar(LEN, cp=CP)
+        np.testing.assert_array_equal(
+            re[-1] + 1j * im[-1], batch[0][:, CP:])
+
+
 class TestReadLast:
     def test_read_last_skips_backlog(self, pair, rng):
         """readLastSymbol semantics (ShMemSymBuff.hpp:300-331; used per data
@@ -301,6 +339,20 @@ class TestSc16Ring:
         w.write(sym)
         re, im = r.read_next_planar(cp=CP)
         np.testing.assert_allclose(re + 1j * im, sym[:, CP:], atol=1.0 / 32767.0)
+
+    def test_write_batch_int16_and_complex(self, sc16_pair, rng):
+        w, r = sc16_pair
+        iq = rng.integers(-32767, 32767, size=(3, ROWS, 2 * COLS),
+                          dtype=np.int16)
+        assert w.write_batch(iq) == 3
+        re, im = r.read_frame_planar(3, cp=0)
+        want = (iq[..., 0::2] + 1j * iq[..., 1::2]).astype(np.complex64)
+        np.testing.assert_allclose(re + 1j * im, want / 32767.0, atol=1e-6)
+        csyms = np.stack([(_sym(rng) / 8.0) for _ in range(2)])
+        assert w.write_batch(csyms) == 2
+        re, im = r.read_frame_planar(2, cp=CP)
+        np.testing.assert_allclose(re + 1j * im, csyms[:, :, CP:],
+                                   atol=1.0 / 32767.0)
 
     def test_dtype_mismatch_rejected(self):
         uid = _uid()

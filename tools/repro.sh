@@ -36,6 +36,8 @@ python tools/scaling_bench.py --virtual 8 --reps 2 --r-hi 7 --batch 1 \
 echo "== ring ingest benchmark =="
 python tools/ring_bench.py --batch --symbols 10100
 python tools/ring_bench.py --batch --symbols 10100 --dtype sc16
+python tools/ring_bench.py --batch --symbols 10100 --dtype sc16 --batch-write
+python tools/ring_bench.py --decompose   # write-leg/read-leg split (PERF.md)
 
 echo "== TPU headline benchmark =="
 python bench.py
