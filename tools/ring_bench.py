@@ -153,12 +153,17 @@ def _decompose(args, SymbolRing):
     bre = np.empty((n, args.antennas, keep), buf_dt)
     bim = np.empty_like(bre)
     read = r.read_frame_planar_i16 if args.i16 else r.read_frame_planar
-    tw = tr = None
+    batch = np.ascontiguousarray(np.broadcast_to(sym, (n,) + sym.shape))
+    tw = twb = tr = None
     for _ in range(4):  # first passes warm shm pages; keep the last
         t0 = time.perf_counter()
         for _ in range(n):
             w.write(sym, wait=True, timeout=60.0)
         tw = (time.perf_counter() - t0) / n
+        read(n, cp=args.cp, out_re=bre, out_im=bim)  # drain
+        t0 = time.perf_counter()
+        w.write_batch(batch, wait=True, timeout=60.0)
+        twb = (time.perf_counter() - t0) / n
         t0 = time.perf_counter()
         read(n, cp=args.cp, out_re=bre, out_im=bim)
         tr = (time.perf_counter() - t0) / n
@@ -169,8 +174,10 @@ def _decompose(args, SymbolRing):
     print(json.dumps({
         "metric": f"ring_leg_us_per_symbol[{args.dtype}]",
         "write_us": round(tw * 1e6, 1),
+        "write_batch_us": round(twb * 1e6, 1),
         "read_prealloc_us": round(tr * 1e6, 1),
         "write_GB_per_s": round(sz / tw / 1e9, 2),
+        "write_batch_GB_per_s": round(sz / twb / 1e9, 2),
         "read_GB_per_s": round(sz / tr / 1e9, 2),
         "geometry": f"{args.antennas}x{cols}x{args.length}",
     }))
