@@ -28,6 +28,15 @@ def build_parser() -> argparse.ArgumentParser:
                     help="fail if EVM exceeds this (dB)")
     ap.add_argument("--max-symbols", type=int, default=None,
                     help="compare only the first N symbol rows")
+    from ..sim.channel import CONSTELLATIONS
+    ap.add_argument("--modulation", choices=sorted(CONSTELLATIONS),
+                    default=None,
+                    help="hard-decision demap both files against this "
+                         "constellation and report the symbol error rate "
+                         "(file_a is the truth, e.g. the sent grid)")
+    ap.add_argument("--ser-threshold", type=float, default=None,
+                    help="with --modulation: fail if SER exceeds this "
+                         "(e.g. 0 for a zero-error gate)")
     return ap
 
 
@@ -54,7 +63,19 @@ def main(argv=None) -> int:
     print(f"symbols: {n} x {args.subcarriers}")
     print(f"EVM:     {evm:.2f} dB (threshold {args.threshold_db:.2f})")
     print(f"max |err|: {max_err:.3e} (ref RMS {rms_ref:.3e})")
-    if evm > args.threshold_db:
+    failed = evm > args.threshold_db
+    if args.modulation is not None:
+        from ..sim.channel import demap_symbols
+        errors = int(np.sum(demap_symbols(a, args.modulation)
+                            != demap_symbols(b, args.modulation)))
+        ser = errors / a.size
+        gate = ("" if args.ser_threshold is None
+                else f" (threshold {args.ser_threshold:g})")
+        print(f"SER:     {ser:.3e} ({errors}/{a.size} {args.modulation}"
+              f" decisions differ){gate}")
+        if args.ser_threshold is not None and ser > args.ser_threshold:
+            failed = True
+    if failed:
         print("FAIL", file=sys.stderr)
         return 1
     print("PASS")

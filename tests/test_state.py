@@ -72,3 +72,25 @@ def test_compare_app_pass_and_fail(rng, tmp_path):
     assert r.returncode == 0 and "PASS" in r.stdout, r.stdout + r.stderr
     r = _run_compare([pa, pc, "--subcarriers", "63", "--threshold-db", "-40"])
     assert r.returncode == 1 and "FAIL" in r.stderr, r.stdout + r.stderr
+
+
+def test_compare_app_ser(rng, tmp_path):
+    from ofdm_ls_mrc_tpu.sim.channel import random_symbols
+
+    sent, _ = random_symbols(rng, (4, 63), "16qam")
+    rx = sent + 0.02 * crandn(rng, sent.shape)   # well inside decision regions
+    bad = rx.copy()
+    bad[0, 0] = -bad[0, 0]                       # one flipped decision
+    pa = str(tmp_path / "sent.dat"); pb = str(tmp_path / "rx.dat")
+    pc = str(tmp_path / "bad.dat")
+    append_output(pa, sent.astype(np.complex64), truncate=True)
+    append_output(pb, rx.astype(np.complex64), truncate=True)
+    append_output(pc, bad.astype(np.complex64), truncate=True)
+
+    common = ["--subcarriers", "63", "--threshold-db", "0",
+              "--modulation", "16qam", "--ser-threshold", "0"]
+    r = _run_compare([pa, pb] + common)
+    assert r.returncode == 0 and "SER:     0.000e+00" in r.stdout, \
+        r.stdout + r.stderr
+    r = _run_compare([pa, pc] + common)
+    assert r.returncode == 1 and "1/252" in r.stdout, r.stdout + r.stderr
