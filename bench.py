@@ -235,14 +235,17 @@ def sharded_setup(cfg, pilot, frames: np.ndarray, mesh_shape,
     if entry == "whole":
         if rx._demod_whole is None:
             raise SystemExit("--sharded-entry whole needs the fused shard "
-                             "body, cp=0 and time_shards == 1")
+                             "body and cp=0")
         from ofdm_ls_mrc_tpu.ops.fastpath import _fast_split
+        from ofdm_ls_mrc_tpu.parallel.sharded import whole_blocks
         n1, n2 = _fast_split(cfg.fft_size)
         s, a = cfg.frame_len, cfg.num_antennas
-        fs = NamedSharding(mesh, P(None, None, ANT_AXIS, None, None))
-        frames5 = CArray(
-            jax.device_put(np.ascontiguousarray(c.re.reshape(k, s, a, n1, n2)), fs),
-            jax.device_put(np.ascontiguousarray(c.im.reshape(k, s, a, n1, n2)), fs))
+        n_time = mesh.shape["time"]
+        fs = NamedSharding(mesh, P(None, *rx._whole_spec))
+        blk = lambda v: whole_blocks(
+            np.ascontiguousarray(v.reshape(k, s, a, n1, n2)), n_time, axis=1)
+        frames5 = CArray(jax.device_put(blk(c.re), fs),
+                         jax.device_put(blk(c.im), fs))
         scan_xs = (frames5,)
         demodw = rx._demod_whole
         call = lambda xs, xpc: demodw(xs[0], xpc)

@@ -20,7 +20,7 @@ from typing import Optional, Tuple
 import jax
 import jax.numpy as jnp
 import numpy as np
-from jax.sharding import Mesh, PartitionSpec as P
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..config import FrameConfig
 from ..ops import fastpath
@@ -144,17 +144,45 @@ def _sharded_demod_local_fused(pilot: CArray, data: CArray, x_perm: CArray,
 
 def _sharded_demod_whole_fused(frame: CArray, x_perm: CArray, *,
                                exact: bool = True) -> CArray:
-    """Whole-frame fused shard body (time_shards == 1 only): the frame
-    arrives in the kernel-native [S, A_local, n1, n2] layout and the pilot
-    row is sliced IN-SHARD -- the same whole-frame placement the unsharded
-    bench ships (docs/PERF.md r3 negatives: pre-split (pilot, data) entry
-    measured 1-3% slower than whole-frame under shared-compile interleaving;
-    the separate pilot transfer and the lost tile-0 pipelining cost more
-    than the in-jit pilot slice they remove).  sc16 planar int16 frames are
-    accepted; the pilot row widens in the body, data widens in the kernel.
+    """Whole-frame fused shard body: the frame arrives in the kernel-native
+    [S, A_local, n1, n2] layout and the pilot row is sliced IN-SHARD -- the
+    same whole-frame placement the unsharded bench ships (docs/PERF.md r3
+    negatives: pre-split (pilot, data) entry measured 1-3% slower than
+    whole-frame under shared-compile interleaving; the separate pilot
+    transfer and the lost tile-0 pipelining cost more than the in-jit pilot
+    slice they remove).  Under time sharding each shard's local view is its
+    own pilot-headed mini-frame (``whole_blocks`` layout), so the same body
+    serves every mesh shape.  sc16 planar int16 frames are accepted; the
+    pilot row widens in the body, data widens in the kernel.
     """
     return _sharded_demod_local_fused(frame[0], frame[1:], x_perm,
                                       cp=0, exact=exact)
+
+
+def whole_blocks(frame, time_shards: int, axis: int = 0):
+    """Pilot-per-block layout for the time-sharded whole-frame entry.
+
+    Repeats the pilot row at the head of each time block along ``axis``:
+    [1 + S_d, ...] -> [time_shards + S_d, ...], so every ``time`` shard's
+    local view of the placed array is its own [1 + S_d/T, ...] mini-frame
+    with the pilot in row 0.  One extra symbol of transfer per additional
+    time shard buys a collective-free whole-frame placement (the
+    alternative -- replicating the pilot over ``time`` while splitting the
+    data -- cannot be expressed in a single whole-array PartitionSpec).
+    """
+    if time_shards == 1:
+        return frame
+    if isinstance(frame, CArray):
+        return CArray(whole_blocks(frame.re, time_shards, axis),
+                      whole_blocks(frame.im, time_shards, axis))
+    xp = jnp if isinstance(frame, jax.Array) else np
+    x = xp.moveaxis(frame, axis, 0)
+    if (x.shape[0] - 1) % time_shards:
+        raise ValueError(f"{x.shape[0] - 1} data symbols not divisible by "
+                         f"{time_shards} time shards")
+    blocks = xp.split(x[1:], time_shards)
+    out = xp.concatenate([xp.concatenate([x[:1], b]) for b in blocks])
+    return xp.moveaxis(out, 0, axis)
 
 
 class ShardedUplinkReceiver:
@@ -243,20 +271,23 @@ class ShardedUplinkReceiver:
                 check_vma=False,
             )
             self._demod4 = jax.jit(mapped4)
-        # Whole-frame kernel-native entry (fused, cp=0, time_shards == 1):
-        # the [S, A, n1, n2] frame enters shard_map whole and the pilot row
-        # is sliced in-shard, mirroring the unsharded bench's whole-frame
-        # placement.  With time sharding the pilot would need replication
-        # over ``time`` while data is split -- one spec cannot express both,
-        # so time_shards > 1 keeps the pre-split (pilot, data) entry.
+        # Whole-frame kernel-native entry (fused, cp=0): the [S, A, n1, n2]
+        # frame enters shard_map whole and the pilot row is sliced in-shard,
+        # mirroring the unsharded bench's whole-frame placement.  Time-
+        # sharded meshes use the pilot-per-block layout (``whole_blocks``):
+        # the leading axis shards over ``time`` and every shard's local view
+        # is its own pilot-headed mini-frame.
+        self._n_time = n_time
         self._demod_whole = None
-        if pipeline == "fused" and cfg.cyclic_prefix == 0 and n_time == 1:
+        if pipeline == "fused" and cfg.cyclic_prefix == 0:
             whole_body = functools.partial(_sharded_demod_whole_fused,
                                            exact=exact)
+            self._whole_spec = (P(None, ANT_AXIS, None, None) if n_time == 1
+                                else P(TIME_AXIS, ANT_AXIS, None, None))
             mappedw = jax.shard_map(
                 whole_body,
                 mesh=mesh,
-                in_specs=(P(None, ANT_AXIS, None, None),
+                in_specs=(self._whole_spec,
                           P()),
                 out_specs=P(TIME_AXIS, None),
                 check_vma=False,
@@ -275,24 +306,49 @@ class ShardedUplinkReceiver:
             if self._demod4 is None:
                 raise ValueError("4-D pre-shaped frames need pipeline='fused' "
                                  "and cyclic_prefix=0")
-            if self._demod_whole is not None:
+            if self._demod_whole is not None and self._n_time == 1:
                 # One dispatch instead of two eager pilot/data slices + the
-                # shard_map call: the pilot row slices in-shard.
+                # shard_map call: the pilot row slices in-shard.  (Time-
+                # sharded meshes need the whole_blocks layout -- demod_whole;
+                # plain frames keep the pre-split entry here.)
                 return self._demod_whole(c, self.x_full)
             return self._demod4(c[0], c[1:], self.x_full)
         return self._demod(c[0], c[1:], self.x_full)
 
     def demod_whole(self, frame) -> CArray:
-        """Kernel-native whole frame [S, A, n1, n2] -> [S-1, F-1], pilot row
-        sliced in-shard (fused, cp=0, time_shards == 1 only).  Frames PLACED
-        whole with the antenna sharding need one transfer and keep the
-        kernel's tile-0 pipelining -- the sharded analogue of the unsharded
-        bench's whole-frame form."""
+        """Kernel-native whole frame -> [S-1, F-1], pilot row sliced
+        in-shard (fused, cp=0).  Frames PLACED whole with the mesh sharding
+        need one transfer and keep the kernel's tile-0 pipelining -- the
+        sharded analogue of the unsharded bench's whole-frame form.
+
+        time_shards == 1 takes the plain [S, A, n1, n2] frame; time-sharded
+        meshes take the pilot-per-block layout [T + S-1, A, n1, n2]
+        (``whole_blocks(frame, T)`` / ``place_whole``)."""
         if self._demod_whole is None:
-            raise ValueError("demod_whole needs pipeline='fused', "
-                             "cyclic_prefix=0 and time_shards == 1")
+            raise ValueError("demod_whole needs pipeline='fused' and "
+                             "cyclic_prefix=0")
         c = frame if isinstance(frame, CArray) else CArray.from_numpy(frame)
+        want = self.cfg.frame_len + self._n_time - 1
+        if c.shape[0] != want:
+            raise ValueError(
+                f"demod_whole on {self._n_time} time shards expects the "
+                f"pilot-per-block layout [{want}, A, n1, n2] "
+                f"(whole_blocks(frame, {self._n_time})); got leading dim "
+                f"{c.shape[0]}")
         return self._demod_whole(c, self.x_full)
+
+    def place_whole(self, frame) -> CArray:
+        """Host kernel-native frame [S, A, n1, n2] -> device placement for
+        ``demod_whole``: builds the pilot-per-block layout when the mesh is
+        time-sharded and transfers with the (time, ant) whole-frame
+        sharding applied, so the shard_map call re-shards nothing."""
+        if self._demod_whole is None:
+            raise ValueError("place_whole needs pipeline='fused' and "
+                             "cyclic_prefix=0")
+        c = frame if isinstance(frame, CArray) else CArray.from_numpy(frame)
+        c = whole_blocks(c, self._n_time)
+        s = NamedSharding(self.mesh, self._whole_spec)
+        return CArray(jax.device_put(c.re, s), jax.device_put(c.im, s))
 
     def demod_capture(self, frames) -> CArray:
         """[K, S, A, F+cp] capture -> [K, S-1, F-1], one dispatch.

@@ -207,6 +207,11 @@ def test_bench_sharded_harness_smoke(rng):
                         pipeline="fused", r_hi=3, exact=False, entry="whole")
     assert t_w > 0
 
+    # Time-sharded whole entry: bench builds the pilot-per-block layout.
+    t_wt = bench_sharded(cfg_f, pilot_f, frames_f, reps=1, mesh_shape=(2, 2),
+                         pipeline="fused", r_hi=3, exact=False, entry="whole")
+    assert t_wt > 0
+
 
 def test_wait_for_device_preflight(monkeypatch):
     """bench.wait_for_device: no-op off the axon platform; honors the

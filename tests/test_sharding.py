@@ -147,13 +147,23 @@ def test_sharded_whole_frame_entry(rng, devices):
                                   jnp.asarray(im16))).to_numpy()
     np.testing.assert_allclose(got16, want, rtol=3e-2, atol=3e-2)
 
-    # Time-sharded meshes cannot express pilot replication + data split in
-    # one whole-frame spec; the entry rejects loudly.
+    # Time-sharded meshes take the pilot-per-block layout: the pilot row is
+    # repeated at the head of each time block (whole_blocks / place_whole)
+    # so each ``time`` shard's local view is its own pilot-headed mini-frame.
+    from ofdm_ls_mrc_tpu.parallel.sharded import whole_blocks
+
     rx_t = ShardedUplinkReceiver(cfg, pilot,
                                  make_mesh(2, 2, devices=jax.devices()[:4]),
                                  pipeline="fused")
-    with pytest.raises(ValueError, match="time_shards"):
-        rx_t.demod_whole(fr4)
+    with pytest.raises(ValueError, match="pilot-per-block"):
+        rx_t.demod_whole(fr4)          # plain frame: wrong leading dim
+    blk = whole_blocks(fr4, 2)
+    assert blk.shape[0] == cfg.frame_len + 1
+    np.testing.assert_array_equal(np.asarray(blk.re[0]), np.asarray(blk.re[3]))
+    got_t = rx_t.demod_whole(blk).to_numpy()
+    np.testing.assert_allclose(got_t, want, rtol=3e-3, atol=3e-3)
+    got_p = rx_t.demod_whole(rx_t.place_whole(fr4)).to_numpy()
+    np.testing.assert_allclose(got_p, got_t, rtol=1e-6, atol=1e-6)
 
 
 def test_sharded_fused_falls_back(rng, devices):
