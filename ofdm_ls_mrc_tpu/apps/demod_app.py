@@ -234,17 +234,28 @@ def main(argv=None) -> int:
     if mesh is not None:
         # Mesh-sharded placement: antennas land on their shards at
         # device_put time so the jitted shard_map needn't reshard every
-        # frame (exact for time_shards=1; partial alignment otherwise).
+        # frame.  Time-sharded meshes with the whole fused entry place the
+        # pilot-per-block layout (whole_blocks) so the time axis lands
+        # sharded too; otherwise the time alignment stays partial.
         import jax as _jax
         from jax.sharding import NamedSharding, PartitionSpec as P
 
         from ..ops.cplx import CArray as _CArray
         from ..parallel.mesh import ANT_AXIS
-        spec = (P(None, ANT_AXIS, None, None) if device_shape is not None
-                else P(None, ANT_AXIS, None))
-        sh = NamedSharding(mesh, spec)
+        blocks = None
+        if (device_shape is not None and n_time > 1
+                and rx._demod_whole is not None and args.batch_frames == 1):
+            from ..parallel.sharded import whole_blocks
+            blocks = lambda p: whole_blocks(p, n_time)
+            sh = NamedSharding(mesh, rx._whole_spec)
+        else:
+            spec = (P(None, ANT_AXIS, None, None) if device_shape is not None
+                    else P(None, ANT_AXIS, None))
+            sh = NamedSharding(mesh, spec)
 
         def put_fn(re_h, im_h):
+            if blocks is not None:
+                re_h, im_h = blocks(re_h), blocks(im_h)
             return _CArray(_jax.device_put(re_h, sh),
                            _jax.device_put(im_h, sh))
 
@@ -263,7 +274,11 @@ def main(argv=None) -> int:
         from ..ops.cplx import CArray
         shape = device_shape or (cfg.frame_len, cfg.num_antennas,
                                  cfg.fft_size)
-        z = CArray(np.zeros(shape, feed_dtype), np.zeros(shape, feed_dtype))
+        zr, zi = np.zeros(shape, feed_dtype), np.zeros(shape, feed_dtype)
+        # Warm through put_fn when the feed will use it: the jitted program
+        # specializes on the input shardings (and the block layout), so the
+        # warm-up must place exactly like the live frames.
+        z = put_fn(zr, zi) if put_fn is not None else CArray(zr, zi)
         jax.block_until_ready(rx.demod_frame(z).re)
     else:
         rx.warmup()

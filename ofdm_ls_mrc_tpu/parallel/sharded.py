@@ -306,11 +306,14 @@ class ShardedUplinkReceiver:
             if self._demod4 is None:
                 raise ValueError("4-D pre-shaped frames need pipeline='fused' "
                                  "and cyclic_prefix=0")
-            if self._demod_whole is not None and self._n_time == 1:
+            if self._demod_whole is not None and (
+                    self._n_time == 1 or
+                    c.shape[0] == self.cfg.frame_len + self._n_time - 1):
                 # One dispatch instead of two eager pilot/data slices + the
-                # shard_map call: the pilot row slices in-shard.  (Time-
-                # sharded meshes need the whole_blocks layout -- demod_whole;
-                # plain frames keep the pre-split entry here.)
+                # shard_map call: the pilot row slices in-shard.  On time-
+                # sharded meshes this branch takes the pilot-per-block
+                # layout (whole_blocks); plain [S, ...] frames keep the
+                # pre-split entry below.
                 return self._demod_whole(c, self.x_full)
             return self._demod4(c[0], c[1:], self.x_full)
         return self._demod(c[0], c[1:], self.x_full)
@@ -358,13 +361,21 @@ class ShardedUplinkReceiver:
         the mesh, and the host re-enters only once per capture.
         """
         if self._demod_capture is None:
-            demod3, demod4 = self._demod, self._demod4
+            demod3, demod4, demodw = self._demod, self._demod4, self._demod_whole
+            whole_lead = self.cfg.frame_len + self._n_time - 1
 
             def capture(frs: CArray, xf) -> CArray:
-                demod = demod4 if frs.re.ndim == 5 else demod3
+                if (frs.re.ndim == 5 and demodw is not None
+                        and frs.shape[1] == whole_lead):
+                    # Whole-frame route (pilot sliced in-shard; on time-
+                    # sharded meshes frames carry the whole_blocks layout).
+                    def body(_, x):
+                        return None, demodw(x, xf)
+                else:
+                    demod = demod4 if frs.re.ndim == 5 else demod3
 
-                def body(_, x):
-                    return None, demod(x[0], x[1:], xf)
+                    def body(_, x):
+                        return None, demod(x[0], x[1:], xf)
                 _, out = jax.lax.scan(body, None, frs)
                 return out
 

@@ -764,17 +764,19 @@ def test_continuous_sync_file_player_exits_on_reader_shutdown(workdir):
     assert "continuous sync:" in rx_out
 
 
-def test_demod_app_sharded_mesh_sc16_native(workdir):
+@pytest.mark.parametrize("mesh,frame_len", [("2x1", 4), ("1x2", 5)])
+def test_demod_app_sharded_mesh_sc16_native(workdir, mesh, frame_len):
     """--mesh + --sc16-native: int16 planes flow ring -> 4-D pre-shaped
     mesh placement -> fused shard body (kernel widens in VMEM), end to end
-    from the app surface on the virtual CPU mesh."""
+    from the app surface on the virtual CPU mesh.  The 1x2 case covers the
+    time-sharded whole entry (pilot-per-block placement in put_fn)."""
     cap = str(workdir / "capture_sc16.dat")
     sent = str(workdir / "sent.dat")
     out = str(workdir / "Output_tpu.dat")
     uid = f"/ofdm_app_{uuid.uuid4().hex[:8]}"
     # F=1024 so the fused shard body engages (sc16-native requires it).
     common = ["--antennas", "2", "--fft-size", "1024",
-              "--cp-size", str(CP), "--frame-len", "4"]
+              "--cp-size", str(CP), "--frame-len", str(frame_len)]
     env = {**ENV_BASE,
            "XLA_FLAGS": ENV_BASE.get("XLA_FLAGS", "")
            + " --xla_force_host_platform_device_count=2"}
@@ -797,7 +799,7 @@ def test_demod_app_sharded_mesh_sc16_native(workdir):
     dm = subprocess.Popen(
         [sys.executable, "-m", "ofdm_ls_mrc_tpu.apps.demod_app",
          "--shm-uid", uid, "--output", out, "--num-frames", "1",
-         "--mesh", "2x1", "--ring-dtype", "sc16", "--sc16-native",
+         "--mesh", mesh, "--ring-dtype", "sc16", "--sc16-native",
          "--fft-impl", "four_step", "--no-timer",
          "--pilots", str(workdir / "none.dat")] + common,
         cwd=REPO, env=env, stdout=subprocess.PIPE, stderr=subprocess.PIPE,
@@ -807,8 +809,8 @@ def test_demod_app_sharded_mesh_sc16_native(workdir):
     assert rx.returncode == 0, rx_err + rx_out
     assert dm.returncode == 0, dm_err + dm_out
 
-    got = np.fromfile(out, dtype=np.complex64).reshape(3, 1023)
-    want = np.fromfile(sent, dtype=np.complex64).reshape(3, 1023)
+    got = np.fromfile(out, dtype=np.complex64).reshape(frame_len - 1, 1023)
+    want = np.fromfile(sent, dtype=np.complex64).reshape(frame_len - 1, 1023)
     evm = 10 * np.log10(np.mean(np.abs(np.fft.fftshift(got, axes=-1) - want) ** 2)
                         / np.mean(np.abs(want) ** 2))
     assert evm < -25.0, f"EVM {evm:.1f} dB"
