@@ -307,9 +307,10 @@ def bench_sharded(cfg, pilot, frames: np.ndarray, reps: int,
     pipeline body and its single fused psum over the ``ant`` axis.
     ``input_dtype='sc16'`` places planar int16 shards (fused body only; the
     kernel widens in VMEM).  ``entry='split'`` pre-splits each frame into
-    (pilot, data); ``entry='whole'`` (fused, cp=0, time_shards==1) places
-    whole kernel-native frames and slices the pilot in-shard, mirroring the
-    unsharded bench's whole-frame form.
+    (pilot, data); ``entry='whole'`` (fused, cp=0) places whole
+    kernel-native frames and slices the pilot in-shard, mirroring the
+    unsharded bench's whole-frame form (time-sharded meshes get the
+    pilot-per-block layout).
     """
     make, scan_xs, xp = sharded_setup(cfg, pilot, frames, mesh_shape,
                                       pipeline=pipeline,

@@ -30,7 +30,14 @@ import sys
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--shards", default="1,2,4,8",
-                    help="comma list of antenna-shard counts")
+                    help="comma list of shard counts for the swept axis")
+    ap.add_argument("--axis", default="ant", choices=["ant", "time"],
+                    help="mesh axis to sweep: 'ant' (antenna-sharded MRC, "
+                         "one fused psum) or 'time' (symbol-block data "
+                         "parallelism, zero collectives)")
+    ap.add_argument("--entry", default="split", choices=["split", "whole"],
+                    help="sharded entry (whole = kernel-native frames, "
+                         "pilot sliced in-shard; fused body only)")
     ap.add_argument("--virtual", type=int, default=0, metavar="N",
                     help="run on an N-device virtual CPU mesh (forces the "
                          "cpu platform; must be >= max shards)")
@@ -95,16 +102,26 @@ def main():
     t1 = None
     baseline_n = None
     for n in shards:
-        if cfg.num_antennas % n:
-            print(f"skip {n} shards: {cfg.num_antennas} antennas not divisible")
-            continue
-        t = bench_sharded(cfg, pilot, frames, args.reps, (n, 1),
-                          pipeline=args.pipeline, r_hi=r_hi)
+        if args.axis == "ant":
+            if cfg.num_antennas % n:
+                print(f"skip {n} shards: {cfg.num_antennas} antennas "
+                      f"not divisible")
+                continue
+            mesh_shape = (n, 1)
+        else:
+            if cfg.num_data_symbols % n:
+                print(f"skip {n} shards: {cfg.num_data_symbols} data symbols "
+                      f"not divisible")
+                continue
+            mesh_shape = (1, n)
+        t = bench_sharded(cfg, pilot, frames, args.reps, mesh_shape,
+                          pipeline=args.pipeline, r_hi=r_hi,
+                          entry=args.entry)
         if t < 1e-9:
             # The R-vs-1 difference came out non-positive (measurement noise
             # exceeded the work at this r_hi); report it instead of an
             # absurd throughput.
-            print(f"ant={n:2d}  measurement unreliable at r_hi={r_hi} "
+            print(f"{args.axis}={n:2d}  measurement unreliable at r_hi={r_hi} "
                   f"(non-positive R-loop delta); re-run with a higher "
                   f"--r-hi", flush=True)
             continue
@@ -114,19 +131,25 @@ def main():
         # count -- if the 1-shard row was skipped as unreliable, later rows
         # must not masquerade as "vs 1 shard".
         eff = (t1 * baseline_n) / (n * t)
-        rows.append({"ant_shards": n, "sec_per_frame": t,
+        # The fused psum rides the ``ant`` axis only; its payload per shard
+        # shrinks with time sharding (S_local data symbols) and the time
+        # axis itself adds zero collectives.
+        payload = psum_payload_bytes(cfg, n if args.axis == "time" else 1)
+        rows.append({f"{args.axis}_shards": n, "sec_per_frame": t,
                      "total_samples_per_sec": samples_per_frame / t,
                      "samples_per_sec_per_chip": samples_per_frame / t / n,
                      f"efficiency_vs_{baseline_n}shard": eff,
-                     "psum_payload_bytes_per_frame": psum_payload_bytes(cfg, 1)})
-        print(f"ant={n:2d}  {t*1e6:10.1f} us/frame  "
+                     "psum_payload_bytes_per_frame": payload})
+        print(f"{args.axis}={n:2d}  {t*1e6:10.1f} us/frame  "
               f"{samples_per_frame/t/1e9:8.2f} Gs/s total  "
               f"{samples_per_frame/t/n/1e9:8.2f} Gs/s/chip  "
               f"eff={eff*100:6.1f}% (vs {baseline_n} shard)  "
-              f"psum={psum_payload_bytes(cfg, 1)} B/frame", flush=True)
+              f"psum={payload} B/frame", flush=True)
 
     rec = {
-        "metric": "antenna_scaling",
+        "metric": f"{'antenna' if args.axis == 'ant' else 'time'}_scaling",
+        "axis": args.axis,
+        "entry": args.entry,
         "pipeline": args.pipeline,
         "platform": jax.devices()[0].platform,
         "virtual": bool(args.virtual),
