@@ -1,0 +1,23 @@
+"""Smoke test for tools/soak.py: the packaged three-process sustained soak
+(continuous rate-paced producer, catch-up consumer, provenance-indexed
+per-frame EVM verdict) runs end to end on the CPU backend and passes."""
+
+import json
+import os
+import subprocess
+import sys
+
+REPO = os.path.abspath(os.path.join(os.path.dirname(__file__), ".."))
+
+
+def test_soak_smoke(tmp_path):
+    env = {**os.environ, "JAX_PLATFORMS": "cpu"}
+    r = subprocess.run(
+        [sys.executable, os.path.join(REPO, "tools", "soak.py"),
+         "--seconds", "8", "--min-frames", "2", "--dir", str(tmp_path)],
+        cwd=REPO, env=env, capture_output=True, text=True, timeout=280)
+    assert r.returncode == 0, r.stdout + r.stderr
+    rec = json.loads(r.stdout.strip().splitlines()[-1])
+    assert rec["pass"] and rec["clean_frames"] >= 2
+    assert rec["evm_clean_db"]["max"] <= -25.0
+    assert rec["rx_rc"] == 0 and rec["demod_rc"] == 0

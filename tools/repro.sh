@@ -57,3 +57,7 @@ python tools/gate.py
 #   python tools/gate.py --skip-accuracy --skip-perf --latency
 # Sharded-entry A/B (split vs whole, shared-compile interleaved):
 #   python tools/ab_sharded.py --mesh 1x1
+# Sustained-pressure soak (three processes, per-frame EVM verdict; on the
+# TPU host run minutes long at the reference geometry):
+#   python tools/soak.py --seconds 120 --antennas 16 --fft-size 1024 \
+#       --frame-len 101 --ring-dtype sc16 --sc16-native --rate 4e6

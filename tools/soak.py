@@ -1,0 +1,224 @@
+"""One-command sustained-pressure soak of the three-process topology.
+
+Packages the manual overrun soak from docs/PERF.md as a reproducible
+pass/fail run: tx_app generates a PN-preambled capture, rx_app loops it as
+a rate-paced continuous ring producer (no-wait writes, like live RX), and
+demod_app consumes in catch-up mode until the deadline; then the demodulated
+output is scored per frame against the sent constellation grid using the
+frame-provenance index (clean frames gate the EVM threshold; best-effort
+dirty frames are reported separately).  This is the reference's production
+shape -- rx_and_corr.cpp writing while cpuLS/gpuLS drains -- driven to a
+machine-readable verdict.
+
+Usage:
+  python tools/soak.py --seconds 30                      # defaults: 4x64 CPU-sized
+  python tools/soak.py --seconds 120 --antennas 16 --fft-size 1024 \
+      --frame-len 101 --ring-dtype sc16 --sc16-native --rate 4e6   # hw soak
+
+Prints one JSON line and exits 0 iff enough clean frames demodulated under
+the EVM bound.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import signal
+import subprocess
+import sys
+import time
+import uuid
+
+import numpy as np
+
+REPO = os.path.abspath(os.path.join(os.path.dirname(__file__), ".."))
+
+
+def build_parser() -> argparse.ArgumentParser:
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--seconds", type=float, default=30.0,
+                    help="producer run time before SIGINT")
+    ap.add_argument("--antennas", type=int, default=4)
+    ap.add_argument("--fft-size", type=int, default=64)
+    ap.add_argument("--cp-size", type=int, default=8)
+    ap.add_argument("--frame-len", type=int, default=9)
+    ap.add_argument("--rate", default="1e6",
+                    help="producer pacing (samples/s; live-RX shape)")
+    ap.add_argument("--snr", default="40", help="channel sim SNR (dB)")
+    ap.add_argument("--channel-taps", default="4")
+    ap.add_argument("--modulation", default="16qam")
+    ap.add_argument("--ring-dtype", default="cf32", choices=["cf32", "sc16"])
+    ap.add_argument("--sc16-native", action="store_true",
+                    help="consumer keeps int16 end to end (fused kernel)")
+    ap.add_argument("--mesh", default=None, metavar="ANTxTIME",
+                    help="consumer demodulates on a sharded mesh")
+    ap.add_argument("--pipeline", default=None,
+                    help="consumer pipeline override (fused/fast/composed)")
+    ap.add_argument("--evm-db", type=float, default=-25.0,
+                    help="per-clean-frame EVM bound (dB)")
+    ap.add_argument("--min-frames", type=int, default=2,
+                    help="fail if fewer clean frames demodulated")
+    ap.add_argument("--dir", default=None,
+                    help="work directory (default: a fresh temp dir)")
+    ap.add_argument("--pilots", default="SoakPilots.dat",
+                    help="pilot file (missing -> both apps use the same "
+                         "deterministic fallback, cpuLS.hpp:84-90 semantics)")
+    ap.add_argument("--keep", action="store_true",
+                    help="keep the work directory")
+    ap.add_argument("--timeout", default="60",
+                    help="ring spin deadline passed to both apps")
+    return ap
+
+
+def _spawn(mod, args, env):
+    return subprocess.Popen([sys.executable, "-m", mod] + args, cwd=REPO,
+                            env=env, stdout=subprocess.PIPE,
+                            stderr=subprocess.PIPE, text=True)
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+    workdir = args.dir or os.path.join(
+        "/tmp", f"ofdm_soak_{uuid.uuid4().hex[:8]}")
+    os.makedirs(workdir, exist_ok=True)
+    cap = os.path.join(workdir, "capture.dat")
+    sent_path = os.path.join(workdir, "sent.dat")
+    out = os.path.join(workdir, "Output_tpu.dat")
+    uid = f"/ofdm_soak_{uuid.uuid4().hex[:8]}"
+    # Child env: when the caller forces the CPU platform, ALSO strip the
+    # axon sitecustomize from PYTHONPATH -- it force-selects the TPU
+    # platform regardless of JAX_PLATFORMS and would hang the consumer on
+    # a dead chip (the test suite does the same, tests/test_apps.py).
+    pp = [p for p in os.environ.get("PYTHONPATH", "").split(os.pathsep) if p]
+    if os.environ.get("JAX_PLATFORMS", "") == "cpu":
+        pp = [p for p in pp if "axon" not in p]
+    env = {**os.environ, "PYTHONPATH": os.pathsep.join([REPO] + pp)}
+
+    geom = ["--antennas", str(args.antennas), "--fft-size", str(args.fft_size),
+            "--cp-size", str(args.cp_size), "--frame-len", str(args.frame_len)]
+    sc16 = args.ring_dtype == "sc16"
+
+    # 1. One sent frame; the producer loops it, so every delivered frame
+    #    scores against the same grid regardless of catch-up drops.
+    tx = subprocess.run(
+        [sys.executable, "-m", "ofdm_ls_mrc_tpu.apps.tx_app", "--out", cap,
+         "--data-out", sent_path, "--pn-preamble", "--snr", args.snr,
+         "--channel-taps", args.channel_taps, "--modulation", args.modulation,
+         "--pilots", args.pilots, "--num-frames", "1"]
+        + (["--out-format", "sc16"] if sc16 else []) + geom,
+        cwd=REPO, env=env, capture_output=True, text=True, timeout=300)
+    if tx.returncode != 0:
+        print(tx.stderr, file=sys.stderr)
+        return 2
+
+    ring = ["--ring-dtype", args.ring_dtype] if sc16 else []
+    rx = _spawn("ofdm_ls_mrc_tpu.apps.rx_app",
+                ["--file", cap, "--shm-uid", uid, "--num-frames", "0",
+                 "--rate", args.rate, "--thres", "0.05",
+                 "--timeout", args.timeout]
+                + (["--file-format", "sc16"] if sc16 else []) + ring + geom,
+                env)
+    dm_extra = []
+    if args.sc16_native:
+        dm_extra += ["--sc16-native"]
+    if args.mesh:
+        dm_extra += ["--mesh", args.mesh]
+    if args.pipeline:
+        dm_extra += ["--pipeline", args.pipeline]
+    dm = _spawn("ofdm_ls_mrc_tpu.apps.demod_app",
+                ["--shm-uid", uid, "--output", out, "--num-frames", "0",
+                 "--catch-up", "--no-timer", "--pilots", args.pilots,
+                 "--timeout", args.timeout] + ring + dm_extra + geom,
+                env)
+
+    deadline = time.time() + args.seconds
+    while time.time() < deadline:
+        if rx.poll() is not None or dm.poll() is not None:
+            break          # early death: report below instead of hanging
+        time.sleep(0.5)
+    if rx.poll() is None:
+        rx.send_signal(signal.SIGINT)     # master drains + shutdown sentinel
+    try:
+        rx_out, rx_err = rx.communicate(timeout=120)
+    except subprocess.TimeoutExpired:
+        rx.kill()
+        rx_out, rx_err = rx.communicate()
+    try:
+        dm_out, dm_err = dm.communicate(timeout=300)
+    except subprocess.TimeoutExpired:
+        dm.send_signal(signal.SIGINT)
+        try:
+            dm_out, dm_err = dm.communicate(timeout=60)
+        except subprocess.TimeoutExpired:
+            dm.kill()
+            dm_out, dm_err = dm.communicate()
+
+    # 2. Score per delivered frame, keyed by the provenance index.
+    f, s = args.fft_size, args.frame_len
+    sent = np.fromfile(sent_path, dtype=np.complex64).reshape(s - 1, f - 1)
+    rows = (np.fromfile(out, dtype=np.complex64) if os.path.exists(out)
+            else np.zeros(0, np.complex64))
+    rows = rows[: rows.size // (f - 1) * (f - 1)].reshape(-1, f - 1)
+    statuses = []
+    try:
+        with open(out + ".index") as idx:
+            statuses = [ln.split() for ln in idx if ln.strip()]
+    except OSError:
+        pass
+
+    def frame_evm(block):
+        got = np.fft.fftshift(block, axes=-1)
+        return float(10 * np.log10(
+            np.mean(np.abs(got - sent) ** 2)
+            / np.mean(np.abs(sent) ** 2) + 1e-30))
+
+    evm_clean, evm_dirty = [], []
+    for seq, status, lo, hi in statuses:
+        lo, hi = int(lo), int(hi)
+        if lo < 0 or hi > len(rows):
+            continue
+        (evm_clean if status == "clean" else evm_dirty).append(
+            frame_evm(rows[lo:hi]))
+    if not statuses and len(rows):      # no index: treat all rows as clean
+        evm_clean = [frame_evm(rows[i:i + s - 1])
+                     for i in range(0, len(rows) - (s - 2), s - 1)]
+
+    overruns = {}
+    for ln in (dm_err or "").splitlines():
+        if "writer overruns" in ln:
+            overruns = {"raw": ln.strip()}
+    ok = (len(evm_clean) >= args.min_frames
+          and (max(evm_clean) if evm_clean else 0.0) <= args.evm_db
+          and rx.returncode == 0 and dm.returncode == 0)
+    rec = {
+        "metric": "soak",
+        "seconds": args.seconds,
+        "geometry": f"{args.antennas}x{args.fft_size}x{args.frame_len}",
+        "ring_dtype": args.ring_dtype,
+        "rate": args.rate,
+        "clean_frames": len(evm_clean),
+        "dirty_frames": len(evm_dirty),
+        "evm_clean_db": {
+            "min": min(evm_clean) if evm_clean else None,
+            "median": float(np.median(evm_clean)) if evm_clean else None,
+            "max": max(evm_clean) if evm_clean else None,
+        },
+        "evm_dirty_max_db": max(evm_dirty) if evm_dirty else None,
+        "threshold_db": args.evm_db,
+        "rx_rc": rx.returncode, "demod_rc": dm.returncode,
+        **overruns,
+        "pass": ok,
+    }
+    print(json.dumps(rec))
+    if not ok:
+        print(f"rx stderr tail: {(rx_err or '')[-2000:]}", file=sys.stderr)
+        print(f"demod stderr tail: {(dm_err or '')[-2000:]}", file=sys.stderr)
+    if not args.keep and ok and args.dir is None:
+        import shutil
+        shutil.rmtree(workdir, ignore_errors=True)
+    return 0 if ok else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())
