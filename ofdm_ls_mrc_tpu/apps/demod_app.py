@@ -88,8 +88,12 @@ def build_parser() -> argparse.ArgumentParser:
                          "to the output (default <output>.index; 'none' "
                          "disables).  One line per delivered frame: "
                          "'<seq> <clean|dirty|dropped-dirty> <row_start> "
-                         "<row_end>' -- row range into the output file, "
-                         "-1 -1 when not emitted.  Lets downstream consumers "
+                         "<row_end> <writer_seq>' -- row range into the "
+                         "output file (-1 -1 when not emitted) and the "
+                         "writer-stream frame ordinal (-1 when unknown), "
+                         "which maps each block back to the transmitted "
+                         "frame across catch-up skips and overrun drops.  "
+                         "Lets downstream consumers "
                          "drop frames that were delivered best-effort during "
                          "overrun (readLastSymbol-style deliberate loss, "
                          "reference ShMemSymBuff.hpp:300-331, made "
@@ -303,14 +307,17 @@ def main(argv=None) -> int:
     emitted_rows = 0
     seq = 0             # delivered-frame ordinal (incl. dropped-dirty)
 
-    def index_record(status, nrows):
-        """One provenance line per delivered frame: seq, status, and the
-        emitted row range in the output file (-1 -1 when not emitted)."""
+    def index_record(status, nrows, wseq=-1):
+        """One provenance line per delivered frame: delivered seq, status,
+        the emitted row range in the output file (-1 -1 when not emitted),
+        and the writer-stream frame ordinal (maps each block back to WHICH
+        transmitted frame it came from across catch-up skips and overrun
+        drops; -1 when unknown)."""
         nonlocal emitted_rows, seq
         if index_f is not None:
             lo, hi = ((emitted_rows, emitted_rows + nrows) if nrows
                       else (-1, -1))
-            index_f.write(f"{seq} {status} {lo} {hi}\n")
+            index_f.write(f"{seq} {status} {lo} {hi} {wseq}\n")
             index_f.flush()
         emitted_rows += nrows
         seq += 1
@@ -344,24 +351,26 @@ def main(argv=None) -> int:
     def flush_batch():
         """Emit a full batch with one capture-scan dispatch + index rows."""
         nonlocal batch
-        emit(demod_batch([f for f, _ in batch]))
-        for _, was_dirty in batch:
-            index_record("dirty" if was_dirty else "clean", rows_per_frame)
+        emit(demod_batch([f for f, _, _ in batch]))
+        for _, was_dirty, wseq in batch:
+            index_record("dirty" if was_dirty else "clean", rows_per_frame,
+                         wseq)
         batch = []
 
     try:
         for frame in feed.frames(max_frames=None if continuous
                                  else args.num_frames):
             dirty = feed.last_frame_dirty
+            wseq = feed.last_frame_writer_seq
             if dump_f is not None:
                 dump_frame(frame)
             if dirty and args.drop_dirty:
                 dropped_dirty += 1
-                index_record("dropped-dirty", 0)
+                index_record("dropped-dirty", 0, wseq)
                 continue
             if args.batch_frames > 1:
                 # Capture mode: one jitted scan dispatch per N frames.
-                batch.append((frame, dirty))
+                batch.append((frame, dirty, wseq))
                 n += 1
                 if len(batch) == args.batch_frames:
                     flush_batch()
@@ -388,15 +397,15 @@ def main(argv=None) -> int:
             else:
                 out = rx.demod_frame(frame)
             emit(out.to_numpy())
-            index_record("dirty" if dirty else "clean", rows_per_frame)
+            index_record("dirty" if dirty else "clean", rows_per_frame, wseq)
             n += 1
     except KeyboardInterrupt:
         print(f"SIGINT: stopping after {n} frame(s)")
     # Flush a short trailing batch per-frame (a different K would recompile
     # the capture scan).
-    for fr, was_dirty in batch:
+    for fr, was_dirty, wseq in batch:
         emit(rx.demod_frame(fr).to_numpy())
-        index_record("dirty" if was_dirty else "clean", rows_per_frame)
+        index_record("dirty" if was_dirty else "clean", rows_per_frame, wseq)
     if dump_f is not None:
         dump_f.close()
     if index_f is not None:

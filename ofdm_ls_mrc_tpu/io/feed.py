@@ -109,6 +109,12 @@ class RingFeed:
         # #6; the observable form of readLastSymbol's deliberate-loss
         # semantics, reference ShMemSymBuff.hpp:300-331).
         self.last_frame_dirty = False
+        # Writer-stream ordinal of the last delivered frame: derived from
+        # symbols consumed + symbols dropped, so under catch-up skips and
+        # overrun drops the output can still be mapped back to WHICH
+        # transmitted frame each demodulated block came from (approximate
+        # for best-effort dirty frames, which are possibly misaligned).
+        self.last_frame_writer_seq = -1
         self._consumed_symbols = 0
         self._pending_resync = False
         self._just_resynced = False
@@ -254,7 +260,8 @@ class RingFeed:
                           f"discarding the in-flight frame and resyncing",
                           file=sys.stderr)
                     self._pending_resync = True
-                self._ready.put((buf, dirty))
+                wseq = (self._consumed_symbols + self._dropped_seen) // fl - 1
+                self._ready.put((buf, dirty, wseq))
         except (RingShutdown, RingTimeout) as e:
             self._error = e
             self._ready.put(None)  # wake the consumer
@@ -275,7 +282,7 @@ class RingFeed:
                     if isinstance(self._error, (RingShutdown, RingTimeout)):
                         return  # clean end-of-stream
                     raise self._error
-                buf, self.last_frame_dirty = item
+                buf, self.last_frame_dirty, self.last_frame_writer_seq = item
                 # Async dispatch: device_put returns immediately; the copy
                 # overlaps the next frame's ring reads.  On CPU backends
                 # device_put may alias the host buffer, so force a real copy

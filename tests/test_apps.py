@@ -83,9 +83,10 @@ def test_three_process_loopback(workdir, ring_dtype):
     assert "ChanEst" in dm_out  # timing table printed
 
     # Sideband provenance index: one line per delivered frame with its
-    # status and output row range (clean run -> all clean, contiguous).
+    # status, output row range, and writer-stream frame ordinal (clean
+    # run -> all clean, contiguous, writer frame 0).
     idx_lines = open(out + ".index").read().splitlines()
-    assert idx_lines == [f"0 clean 0 {S - 1}"]
+    assert idx_lines == [f"0 clean 0 {S - 1} 0"]
 
 
 def test_sc16_capture_file_roundtrip(workdir):

@@ -408,6 +408,8 @@ class TestCatchUpFeed:
             # Frames 0 and 1 skipped; delivered frame is the freshest (k=2).
             assert feed.skipped_frames == 2
             assert float(np.asarray(frame.re)[0, 0, 0]) == 2.0
+            # Provenance: the writer-stream ordinal survives the skip.
+            assert feed.last_frame_writer_seq == 2
             feed.stop()
         finally:
             r.close()
@@ -429,6 +431,7 @@ class TestCatchUpFeed:
             frame = next(feed.frames(max_frames=1))
             assert feed.skipped_frames == 0
             assert float(np.asarray(frame.re)[0, 0, 0]) == 7.0
+            assert feed.last_frame_writer_seq == 0
             feed.stop()
         finally:
             r.close()

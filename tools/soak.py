@@ -174,7 +174,7 @@ def main(argv=None) -> int:
             / np.mean(np.abs(sent) ** 2) + 1e-30))
 
     evm_clean, evm_dirty = [], []
-    for seq, status, lo, hi in statuses:
+    for seq, status, lo, hi in (p[:4] for p in statuses):
         lo, hi = int(lo), int(hi)
         if lo < 0 or hi > len(rows):
             continue
