@@ -180,6 +180,15 @@ class RingFeed:
         cp = self.cfg.cyclic_prefix
         fl = self.cfg.frame_len
         self._dropped_seen = getattr(self.ring, "dropped", 0)
+        # Attaching to a ring that ALREADY overran: the backlog predates the
+        # drops (the writer drops NEW symbols when full), so it is stale, its
+        # frame alignment is not guaranteed, and the writer-seq identity
+        # (consumed + dropped = attempt cursor) only holds once the reader
+        # has drained to the write head with all drops behind it.  Start with
+        # the same recovery as a mid-stream overrun: resync before the first
+        # frame (costs at most ring-capacity + frame_len stale symbols).
+        if self._dropped_seen:
+            self._pending_resync = True
         try:
             while not self._stop.is_set():
                 buf = self._free.get()

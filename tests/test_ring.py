@@ -547,6 +547,50 @@ class TestDropResync:
         assert feed.drop_events == 1
         np.testing.assert_array_equal(frames[0], [6.0, 7.0, 8.0])
 
+    def test_attach_after_overrun_resyncs_first(self):
+        """A reader attaching to a ring that ALREADY overran must resync
+        before delivering: the backlog predates the drops (the writer drops
+        NEW symbols when full), so it is stale and the writer-seq identity
+        (consumed + dropped = attempt cursor) doesn't hold until the reader
+        drains to the write head.  Without the startup resync the first
+        frame would be stale frame 0 claiming writer-seq dropped//frame_len."""
+        import threading
+
+        from ofdm_ls_mrc_tpu import FrameConfig
+        from ofdm_ls_mrc_tpu.io.feed import RingFeed
+
+        cfg = FrameConfig(num_antennas=ROWS, fft_size=COLS, cyclic_prefix=0,
+                          frame_len=3)
+        uid = _uid()
+        cap = cfg.frame_len  # one-frame ring: overruns immediately
+        w = SymbolRing(uid, ROWS, COLS, cap, master=True, timeout=10.0)
+        r = SymbolRing(uid, ROWS, COLS, cap, master=False, timeout=10.0)
+        try:
+            # Writer frame 0 stored, frame 1 dropped entirely (no reader yet).
+            for k in (0, 1):
+                for s in range(cfg.frame_len):
+                    w.write(np.full((ROWS, COLS), float(k) + 1j * s,
+                                    np.complex64), wait=False)
+            assert w.dropped == cfg.frame_len
+            # Frame 2 arrives once the startup resync drains the stale frame.
+            t = threading.Thread(target=lambda: [
+                w.write(np.full((ROWS, COLS), 2.0 + 1j * s, np.complex64),
+                        wait=True) for s in range(cfg.frame_len)])
+            t.start()
+            feed = RingFeed(r, cfg)
+            frame = next(feed.frames(max_frames=1))
+            t.join()
+            # Stale frame 0 drained, dropped frame 1 accounted behind the
+            # cursor: the delivered frame is frame 2 and says so.
+            assert float(np.asarray(frame.re)[0, 0, 0]) == 2.0
+            assert feed.last_frame_writer_seq == 2
+            assert not feed.last_frame_dirty
+            assert feed.resynced_frames == 1 and feed.drop_events == 0
+            feed.stop()
+        finally:
+            r.close()
+            w.close()
+
 
 def _xproc_producer(uid, n, rows, cols, length):
     import numpy as np

@@ -10,6 +10,11 @@ dirty frames are reported separately).  This is the reference's production
 shape -- rx_and_corr.cpp writing while cpuLS/gpuLS drains -- driven to a
 machine-readable verdict.
 
+With --num-frames N > 1 the producer cycles N distinct frames and each
+delivered block is scored against its OWN sent grid via the index's
+writer-seq column -- proving the provenance mapping holds under catch-up
+skips and overrun drops, not just that one repeated frame demodulates.
+
 Usage:
   python tools/soak.py --seconds 30                      # defaults: 4x64 CPU-sized
   python tools/soak.py --seconds 120 --antennas 16 --fft-size 1024 \
@@ -48,6 +53,10 @@ def build_parser() -> argparse.ArgumentParser:
     ap.add_argument("--snr", default="40", help="channel sim SNR (dB)")
     ap.add_argument("--channel-taps", default="4")
     ap.add_argument("--modulation", default="16qam")
+    ap.add_argument("--num-frames", type=int, default=1,
+                    help="distinct transmitted frames the producer cycles; "
+                         "each delivered frame is scored against ITS OWN "
+                         "sent grid via the writer-seq provenance column")
     ap.add_argument("--ring-dtype", default="cf32", choices=["cf32", "sc16"])
     ap.add_argument("--sc16-native", action="store_true",
                     help="consumer keeps int16 end to end (fused kernel)")
@@ -99,13 +108,15 @@ def main(argv=None) -> int:
             "--cp-size", str(args.cp_size), "--frame-len", str(args.frame_len)]
     sc16 = args.ring_dtype == "sc16"
 
-    # 1. One sent frame; the producer loops it, so every delivered frame
-    #    scores against the same grid regardless of catch-up drops.
+    # 1. The sent frames; the producer cycles them.  With --num-frames 1
+    #    every delivered frame scores against the same grid; with N > 1 the
+    #    index's writer-seq column maps each delivered frame to sent grid
+    #    (wseq mod N) even across catch-up skips and overrun drops.
     tx = subprocess.run(
         [sys.executable, "-m", "ofdm_ls_mrc_tpu.apps.tx_app", "--out", cap,
          "--data-out", sent_path, "--pn-preamble", "--snr", args.snr,
          "--channel-taps", args.channel_taps, "--modulation", args.modulation,
-         "--pilots", args.pilots, "--num-frames", "1"]
+         "--pilots", args.pilots, "--num-frames", str(args.num_frames)]
         + (["--out-format", "sc16"] if sc16 else []) + geom,
         cwd=REPO, env=env, capture_output=True, text=True, timeout=300)
     if tx.returncode != 0:
@@ -154,9 +165,13 @@ def main(argv=None) -> int:
             dm.kill()
             dm_out, dm_err = dm.communicate()
 
-    # 2. Score per delivered frame, keyed by the provenance index.
+    # 2. Score per delivered frame, keyed by the provenance index.  The
+    #    5th column (writer-stream frame ordinal) selects WHICH sent grid a
+    #    block is compared against when the producer cycles several frames.
     f, s = args.fft_size, args.frame_len
-    sent = np.fromfile(sent_path, dtype=np.complex64).reshape(s - 1, f - 1)
+    nsent = args.num_frames
+    sent = np.fromfile(sent_path, dtype=np.complex64).reshape(
+        nsent, s - 1, f - 1)
     rows = (np.fromfile(out, dtype=np.complex64) if os.path.exists(out)
             else np.zeros(0, np.complex64))
     rows = rows[: rows.size // (f - 1) * (f - 1)].reshape(-1, f - 1)
@@ -167,21 +182,28 @@ def main(argv=None) -> int:
     except OSError:
         pass
 
-    def frame_evm(block):
+    def frame_evm(block, ref):
         got = np.fft.fftshift(block, axes=-1)
         return float(10 * np.log10(
-            np.mean(np.abs(got - sent) ** 2)
-            / np.mean(np.abs(sent) ** 2) + 1e-30))
+            np.mean(np.abs(got - ref) ** 2)
+            / np.mean(np.abs(ref) ** 2) + 1e-30))
 
     evm_clean, evm_dirty = [], []
-    for seq, status, lo, hi in (p[:4] for p in statuses):
+    for p in statuses:
+        seq, status, lo, hi = p[:4]
+        wseq = int(p[4]) if len(p) > 4 else -1
         lo, hi = int(lo), int(hi)
         if lo < 0 or hi > len(rows):
             continue
+        if wseq < 0:
+            if nsent > 1:
+                continue            # can't attribute: don't mis-score
+            wseq = 0
         (evm_clean if status == "clean" else evm_dirty).append(
-            frame_evm(rows[lo:hi]))
-    if not statuses and len(rows):      # no index: treat all rows as clean
-        evm_clean = [frame_evm(rows[i:i + s - 1])
+            frame_evm(rows[lo:hi], sent[wseq % nsent]))
+    if not statuses and len(rows) and nsent == 1:
+        # No index: treat all rows as clean (single sent grid only).
+        evm_clean = [frame_evm(rows[i:i + s - 1], sent[0])
                      for i in range(0, len(rows) - (s - 2), s - 1)]
 
     overruns = {}
@@ -197,6 +219,7 @@ def main(argv=None) -> int:
         "geometry": f"{args.antennas}x{args.fft_size}x{args.frame_len}",
         "ring_dtype": args.ring_dtype,
         "rate": args.rate,
+        "sent_frames": nsent,
         "clean_frames": len(evm_clean),
         "dirty_frames": len(evm_dirty),
         "evm_clean_db": {
