@@ -12,9 +12,13 @@ REPO = os.path.abspath(os.path.join(os.path.dirname(__file__), ".."))
 
 def test_soak_smoke(tmp_path):
     env = {**os.environ, "JAX_PLATFORMS": "cpu"}
+    # --num-frames 3: the producer cycles three DISTINCT frames, so the
+    # verdict also proves the writer-seq provenance mapping (every clean
+    # block must score against its own sent grid, not just any grid).
     r = subprocess.run(
         [sys.executable, os.path.join(REPO, "tools", "soak.py"),
-         "--seconds", "8", "--min-frames", "2", "--dir", str(tmp_path)],
+         "--seconds", "8", "--min-frames", "2", "--num-frames", "3",
+         "--dir", str(tmp_path)],
         cwd=REPO, env=env, capture_output=True, text=True, timeout=280)
     assert r.returncode == 0, r.stdout + r.stderr
     rec = json.loads(r.stdout.strip().splitlines()[-1])
