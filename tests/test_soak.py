@@ -25,3 +25,32 @@ def test_soak_smoke(tmp_path):
     assert rec["pass"] and rec["clean_frames"] >= 2
     assert rec["evm_clean_db"]["max"] <= -25.0
     assert rec["rx_rc"] == 0 and rec["demod_rc"] == 0
+
+
+def test_soak_continuous_sync(tmp_path):
+    """The producer leg runs the rolling receive loop (per-buffer PN
+    correlate / cross-buffer stitch / re-acquire -- the reference
+    rx_and_corr.cpp:305-405 shape) instead of one-shot sync, with a PN
+    before every frame, and the verdict still holds."""
+    env = {**os.environ, "JAX_PLATFORMS": "cpu"}
+    r = subprocess.run(
+        [sys.executable, os.path.join(REPO, "tools", "soak.py"),
+         "--seconds", "8", "--min-frames", "2", "--num-frames", "1",
+         "--continuous-sync", "--dir", str(tmp_path)],
+        cwd=REPO, env=env, capture_output=True, text=True, timeout=280)
+    assert r.returncode == 0, r.stdout + r.stderr
+    rec = json.loads(r.stdout.strip().splitlines()[-1])
+    assert rec["pass"] and rec["clean_frames"] >= 2
+    assert rec["sync"] == "continuous"
+    assert rec["evm_clean_db"]["max"] <= -25.0
+    # the producer-side rolling-sync summary is surfaced in the verdict
+    assert rec["producer_sync"].startswith("continuous sync:")
+
+
+def test_soak_continuous_sync_rejects_multi_frame():
+    r = subprocess.run(
+        [sys.executable, os.path.join(REPO, "tools", "soak.py"),
+         "--continuous-sync", "--num-frames", "3"],
+        cwd=REPO, capture_output=True, text=True, timeout=60)
+    assert r.returncode == 2
+    assert "--num-frames 1" in r.stderr

@@ -58,6 +58,15 @@ def build_parser() -> argparse.ArgumentParser:
                          "each delivered frame is scored against ITS OWN "
                          "sent grid via the writer-seq provenance column")
     ap.add_argument("--ring-dtype", default="cf32", choices=["cf32", "sc16"])
+    ap.add_argument("--continuous-sync", action="store_true",
+                    help="producer runs the rolling receive loop (per-buffer "
+                         "PN correlate / cross-buffer stitch / re-acquire, "
+                         "the reference rx_and_corr.cpp:305-405 shape) "
+                         "instead of one-shot sync; the TX capture gets a PN "
+                         "before EVERY frame.  Requires --num-frames 1: the "
+                         "capture-cycle discontinuity re-acquires mid-stream, "
+                         "which breaks the writer-seq -> sent-grid mapping "
+                         "for distinct frames")
     ap.add_argument("--sc16-native", action="store_true",
                     help="consumer keeps int16 end to end (fused kernel)")
     ap.add_argument("--mesh", default=None, metavar="ANTxTIME",
@@ -88,6 +97,11 @@ def _spawn(mod, args, env):
 
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
+    if args.continuous_sync and args.num_frames != 1:
+        print("--continuous-sync requires --num-frames 1 (re-acquisition "
+              "after the capture-cycle discontinuity breaks per-frame "
+              "attribution of distinct sent grids)", file=sys.stderr)
+        return 2
     workdir = args.dir or os.path.join(
         "/tmp", f"ofdm_soak_{uuid.uuid4().hex[:8]}")
     os.makedirs(workdir, exist_ok=True)
@@ -112,9 +126,10 @@ def main(argv=None) -> int:
     #    every delivered frame scores against the same grid; with N > 1 the
     #    index's writer-seq column maps each delivered frame to sent grid
     #    (wseq mod N) even across catch-up skips and overrun drops.
+    pn_mode = "--pn-every-frame" if args.continuous_sync else "--pn-preamble"
     tx = subprocess.run(
         [sys.executable, "-m", "ofdm_ls_mrc_tpu.apps.tx_app", "--out", cap,
-         "--data-out", sent_path, "--pn-preamble", "--snr", args.snr,
+         "--data-out", sent_path, pn_mode, "--snr", args.snr,
          "--channel-taps", args.channel_taps, "--modulation", args.modulation,
          "--pilots", args.pilots, "--num-frames", str(args.num_frames)]
         + (["--out-format", "sc16"] if sc16 else []) + geom,
@@ -128,6 +143,7 @@ def main(argv=None) -> int:
                 ["--file", cap, "--shm-uid", uid, "--num-frames", "0",
                  "--rate", args.rate, "--thres", "0.05",
                  "--timeout", args.timeout]
+                + (["--continuous-sync"] if args.continuous_sync else [])
                 + (["--file-format", "sc16"] if sc16 else []) + ring + geom,
                 env)
     dm_extra = []
@@ -143,6 +159,17 @@ def main(argv=None) -> int:
                  "--timeout", args.timeout] + ring + dm_extra + geom,
                 env)
 
+    # --seconds measures STEADY-STATE pressure: start the countdown once the
+    # consumer has demodulated its first frame (the provenance index flushes
+    # per frame), not while it is still importing/compiling -- a cold JAX
+    # start can exceed a short soak window entirely.  Bounded by --timeout.
+    warm_deadline = time.time() + float(args.timeout)
+    while time.time() < warm_deadline:
+        if rx.poll() is not None or dm.poll() is not None:
+            break
+        if os.path.exists(out + ".index") and os.path.getsize(out + ".index"):
+            break
+        time.sleep(0.2)
     deadline = time.time() + args.seconds
     while time.time() < deadline:
         if rx.poll() is not None or dm.poll() is not None:
@@ -210,6 +237,9 @@ def main(argv=None) -> int:
     for ln in (dm_err or "").splitlines():
         if "writer overruns" in ln:
             overruns = {"raw": ln.strip()}
+    for ln in (rx_out or "").splitlines():
+        if ln.startswith("continuous sync:"):   # producer-side sync summary
+            overruns["producer_sync"] = ln.strip()
     ok = (len(evm_clean) >= args.min_frames
           and (max(evm_clean) if evm_clean else 0.0) <= args.evm_db
           and rx.returncode == 0 and dm.returncode == 0)
@@ -219,6 +249,7 @@ def main(argv=None) -> int:
         "geometry": f"{args.antennas}x{args.fft_size}x{args.frame_len}",
         "ring_dtype": args.ring_dtype,
         "rate": args.rate,
+        "sync": "continuous" if args.continuous_sync else "one-shot",
         "sent_frames": nsent,
         "clean_frames": len(evm_clean),
         "dirty_frames": len(evm_dirty),
