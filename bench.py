@@ -374,8 +374,9 @@ def main():
                          "-- half the input DMA of f32 on an HBM-rate-bound "
                          "kernel, identical EVM, fused pipeline only.  f32 "
                          "replicates the reference's float ring for "
-                         "apples-to-apples BASELINE comparisons.  Non-fused "
-                         "pipelines and --mesh runs use f32 regardless.")
+                         "apples-to-apples BASELINE comparisons.  Applies "
+                         "to --mesh runs too (fused shard body); non-fused "
+                         "pipelines use f32 regardless.")
     ap.add_argument("--mesh", default=None, metavar="ANTxTIME",
                     help="bench the SHARDED receiver over an (ant, time) "
                          "device mesh, e.g. 1x1 (hardware single chip) or "
@@ -452,6 +453,15 @@ def main():
             parts.append(f"fft{args.fft}")
         if args.mesh:
             parts.append(f"mesh{args.mesh.lower()}")
+        # Non-default program variants get their own record key -- otherwise
+        # e.g. a `--sharded-entry whole` best would ratchet the split entry's
+        # floor while gate.py replays the split program against it.
+        if args.mesh and args.sharded_entry != "split":
+            parts.append(args.sharded_entry)
+        if args.fuse_estimate:
+            parts.append("fuseest")
+        if args.cp_where != "host":
+            parts.append(f"cp{args.cp_where}")
         return "-".join(parts)
 
     def record(rec, mode, input_dtype):
@@ -462,7 +472,10 @@ def main():
                          "pipeline": args.pipeline,
                          "kernel_precision": args.kernel_precision,
                          "antennas": args.antennas, "fft": args.fft,
-                         "symbols": args.symbols, "mesh": args.mesh}
+                         "symbols": args.symbols, "mesh": args.mesh,
+                         "sharded_entry": args.sharded_entry,
+                         "fuse_estimate": args.fuse_estimate,
+                         "cp_where": args.cp_where}
         print(json.dumps(rec))
         if args.record:
             import os

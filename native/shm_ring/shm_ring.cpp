@@ -248,6 +248,13 @@ int ring_len(void* ring) { return static_cast<Ring*>(ring)->hdr->len; }
 int ring_dropped(void* ring) {
   return static_cast<Ring*>(ring)->hdr->dropped.load(std::memory_order_relaxed);
 }
+// Total symbols consumed from this ring so far (monotonic tail) -- by ANY
+// reader, including ones that exited.  With `dropped`, this locates a
+// late-attaching reader on the writer's attempt cursor:
+// consumed + dropped = attempt index of the next buffered symbol.
+int64_t ring_consumed(void* ring) {
+  return static_cast<Ring*>(ring)->hdr->tail.load(std::memory_order_acquire);
+}
 // Symbols currently buffered and unread.
 int ring_available(void* ring) {
   RingHeader* h = static_cast<Ring*>(ring)->hdr;

@@ -186,6 +186,14 @@ def main(argv=None) -> int:
     if args.batch_frames > 1 and args.per_symbol:
         print("note: --batch-frames has no effect in --per-symbol mode",
               file=sys.stderr)
+    if args.per_symbol and (args.drop_dirty
+                            or args.frame_index not in (None, "none")):
+        # Fail loud instead of silently skipping the provenance guarantees:
+        # dirty-frame tracking lives in the whole-frame RingFeed; the
+        # per-symbol loop reads symbol-at-a-time and never marks frames.
+        print("--drop-dirty/--frame-index are whole-frame provenance modes "
+              "(not --per-symbol)", file=sys.stderr)
+        return 2
     continuous = args.num_frames <= 0
     timer = None if (args.no_timer or continuous or args.sc16_native
                      or (args.batch_frames > 1 and not args.per_symbol)
@@ -349,12 +357,18 @@ def main(argv=None) -> int:
         arr.reshape(cfg.frame_len, cfg.num_antennas, -1).tofile(dump_f)
 
     def flush_batch():
-        """Emit a full batch with one capture-scan dispatch + index rows."""
+        """Emit a full batch with one capture-scan dispatch + index rows.
+        Dropped-dirty tombstones (frame is None) ride the queue so index
+        lines come out in DELIVERY order -- recording a drop eagerly would
+        give it a lower seq than clean frames delivered before it."""
         nonlocal batch
-        emit(demod_batch([f for f, _, _ in batch]))
-        for _, was_dirty, wseq in batch:
-            index_record("dirty" if was_dirty else "clean", rows_per_frame,
-                         wseq)
+        emit(demod_batch([f for f, _, _ in batch if f is not None]))
+        for fr, was_dirty, wseq in batch:
+            if fr is None:
+                index_record("dropped-dirty", 0, wseq)
+            else:
+                index_record("dirty" if was_dirty else "clean",
+                             rows_per_frame, wseq)
         batch = []
 
     try:
@@ -366,13 +380,19 @@ def main(argv=None) -> int:
                 dump_frame(frame)
             if dirty and args.drop_dirty:
                 dropped_dirty += 1
-                index_record("dropped-dirty", 0, wseq)
+                if args.batch_frames > 1 and batch:
+                    # Keep index lines in delivery order: queue a tombstone
+                    # behind the frames already pending in this batch.
+                    batch.append((None, True, wseq))
+                else:
+                    index_record("dropped-dirty", 0, wseq)
                 continue
             if args.batch_frames > 1:
                 # Capture mode: one jitted scan dispatch per N frames.
                 batch.append((frame, dirty, wseq))
                 n += 1
-                if len(batch) == args.batch_frames:
+                if sum(1 for f, _, _ in batch
+                       if f is not None) == args.batch_frames:
                     flush_batch()
                 continue
             if timer:
@@ -404,6 +424,9 @@ def main(argv=None) -> int:
     # Flush a short trailing batch per-frame (a different K would recompile
     # the capture scan).
     for fr, was_dirty, wseq in batch:
+        if fr is None:
+            index_record("dropped-dirty", 0, wseq)
+            continue
         emit(rx.demod_frame(fr).to_numpy())
         index_record("dirty" if was_dirty else "clean", rows_per_frame, wseq)
     if dump_f is not None:
@@ -449,6 +472,11 @@ def _run_distributed(args, cfg, pilot) -> int:
     if args.per_symbol or args.mesh or args.sc16_native:
         print("--distributed is a whole-frame float mode (not --per-symbol/"
               "--mesh/--sc16-native)", file=sys.stderr)
+        return 2
+    if args.drop_dirty or args.frame_index not in (None, "none"):
+        print("--drop-dirty/--frame-index are not supported under "
+              "--distributed (per-host feeds would need a merged index)",
+              file=sys.stderr)
         return 2
     if args.num_frames <= 0:
         print("--distributed needs a bounded --num-frames", file=sys.stderr)

@@ -180,6 +180,12 @@ class RingFeed:
         cp = self.cfg.cyclic_prefix
         fl = self.cfg.frame_len
         self._dropped_seen = getattr(self.ring, "dropped", 0)
+        # Seed the consumed counter from the ring's monotonic tail, not 0:
+        # attaching to a ring a PREVIOUS consumer already read from (e.g. a
+        # second demod_app against a long-running rx_app) would otherwise
+        # shift every writer_seq low by the prior consumption, mis-mapping
+        # output blocks to transmitted frames in the provenance index.
+        self._consumed_symbols = getattr(self.ring, "consumed", 0)
         # Attaching to a ring that ALREADY overran: the backlog predates the
         # drops (the writer drops NEW symbols when full), so it is stale, its
         # frame alignment is not guaranteed, and the writer-seq identity
@@ -190,6 +196,14 @@ class RingFeed:
         if self._dropped_seen:
             self._pending_resync = True
         try:
+            if not self._pending_resync and (self._consumed_symbols % fl):
+                # A previous consumer exited mid-frame (no drops): the
+                # buffered data is good, but reads must start on a writer-
+                # stream frame boundary.  Discard only up to the boundary --
+                # no backlog drain.
+                for _ in range(fl - self._consumed_symbols % fl):
+                    self.ring.read_next_planar(cp=cp)
+                    self._consumed_symbols += 1
             while not self._stop.is_set():
                 buf = self._free.get()
                 if buf is None:  # stop() sentinel

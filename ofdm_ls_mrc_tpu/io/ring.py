@@ -76,6 +76,8 @@ def _load() -> ctypes.CDLL:
             fn.argtypes = [ctypes.c_void_p]
         lib.ring_spin_seconds.restype = ctypes.c_double
         lib.ring_spin_seconds.argtypes = [ctypes.c_void_p]
+        lib.ring_consumed.restype = ctypes.c_int64
+        lib.ring_consumed.argtypes = [ctypes.c_void_p]
         lib.ring_wait_drained.restype = ctypes.c_int
         lib.ring_wait_drained.argtypes = [ctypes.c_void_p, ctypes.c_double]
         fptr = ctypes.POINTER(ctypes.c_float)
@@ -372,6 +374,14 @@ class SymbolRing:
     def available(self) -> int:
         """Symbols currently buffered and unread."""
         return self._lib.ring_available(self._handle)
+
+    @property
+    def consumed(self) -> int:
+        """Total symbols consumed from this ring so far (monotonic tail),
+        including by readers that already exited.  With ``dropped`` this
+        places a late-attaching reader on the writer-stream attempt cursor
+        (consumed + dropped = attempt index of the next buffered symbol)."""
+        return self._lib.ring_consumed(self._handle)
 
     @property
     def spin_seconds(self) -> float:

@@ -44,10 +44,22 @@ def map_symbols(bits_or_idx: np.ndarray, scheme: str = "qpsk") -> np.ndarray:
 
 
 def demap_symbols(syms: np.ndarray, scheme: str = "qpsk") -> np.ndarray:
-    """Hard-decision nearest-neighbor demap back to indices."""
+    """Hard-decision nearest-neighbor demap back to indices.
+
+    Chunked over a flat view so the [n, M] distance matrix stays bounded
+    (~8 MB) regardless of input size -- compare_app demaps entire capture
+    files, where a one-shot [n, subcarriers, M] broadcast would allocate
+    tens of GB."""
     const = CONSTELLATIONS[scheme]
-    d = np.abs(syms[..., None] - const[None, :])
-    return np.argmin(d, axis=-1)
+    syms = np.asarray(syms)
+    flat = syms.reshape(-1)
+    out = np.empty(flat.shape, dtype=np.int64)
+    step = max(1, (1 << 20) // const.size)
+    for lo in range(0, flat.size, step):
+        hi = min(lo + step, flat.size)
+        d = np.abs(flat[lo:hi, None] - const[None, :])
+        out[lo:hi] = np.argmin(d, axis=-1)
+    return out.reshape(syms.shape)
 
 
 def random_symbols(rng: np.random.Generator, shape,

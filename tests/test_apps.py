@@ -189,6 +189,24 @@ def test_tx_app_requires_out():
     assert r.returncode == 2
 
 
+def test_provenance_flags_rejected_outside_whole_frame_modes(workdir):
+    """--drop-dirty/--frame-index live in the whole-frame RingFeed; the
+    per-symbol and distributed paths must fail loud instead of silently
+    skipping the provenance guarantees."""
+    common = ["--antennas", str(A), "--fft-size", str(F), "--cp-size", "0",
+              "--frame-len", str(S), "--shm-uid", "/nope",
+              "--pilots", str(workdir / "none.dat")]
+    r = run(["ofdm_ls_mrc_tpu.apps.demod_app", "--per-symbol",
+             "--drop-dirty"] + common)
+    assert r.returncode == 2 and "whole-frame provenance" in r.stderr
+    r = run(["ofdm_ls_mrc_tpu.apps.demod_app", "--per-symbol",
+             "--frame-index", str(workdir / "x.idx")] + common)
+    assert r.returncode == 2 and "whole-frame provenance" in r.stderr
+    r = run(["ofdm_ls_mrc_tpu.apps.demod_app", "--distributed",
+             "localhost:0", "--num-frames", "1", "--drop-dirty"] + common)
+    assert r.returncode == 2 and "--distributed" in r.stderr
+
+
 def test_per_symbol_mode_loopback(workdir):
     """--per-symbol: ring -> StreamingDemodulator -> output, one row per
     data symbol, with the per-slot read/chanest/decode table (the
@@ -638,6 +656,55 @@ def test_drop_dirty_excludes_frames_and_indexes_them(workdir, monkeypatch):
     statuses = [ln.split()[1]
                 for ln in open(out + ".index").read().splitlines()]
     assert statuses == ["clean", "clean", "dropped-dirty", "dropped-dirty"]
+
+
+def test_drop_dirty_index_order_under_batch_frames(workdir, monkeypatch):
+    """--drop-dirty with --batch-frames > 1: the dropped-dirty index line
+    keeps its DELIVERY position relative to clean frames pending in the
+    batch (recording the drop eagerly would give it a lower seq than
+    frames delivered before it)."""
+    from test_ring import _ScriptedRing
+
+    from ofdm_ls_mrc_tpu.apps import demod_app
+    from ofdm_ls_mrc_tpu.io import ring as ring_mod
+    from ofdm_ls_mrc_tpu.io.feed import RingFeed
+
+    fl = 3
+    # Delivery order: clean(f0), dirty(discarded frame then best-effort),
+    # clean -- the dirty lands while f0 waits in the half-full batch.
+    stream = ([(i, 0) for i in range(5)] + [(5, 1)]       # f0 clean; overrun
+              + [(i, 1) for i in (6, 7, 8, 9)] + [(10, 2)]  # resync; dirty
+              + [(i, 2) for i in range(11, 16)])            # resync; clean
+    scripted = _ScriptedRing(A, F, stream)
+
+    class _FakeRing:
+        rows, cols = A, F
+        def __init__(self, *a, **kw):
+            pass
+        def close(self):
+            pass
+        def shutdown(self):
+            pass
+
+    monkeypatch.setattr(ring_mod, "SymbolRing", _FakeRing)
+    monkeypatch.setattr(
+        demod_app, "_make_feed",
+        lambda ring, cfg, cp, timer, **kw: RingFeed(scripted, cfg))
+    out = str(workdir / "Output_tpu.dat")
+    rc = demod_app.main(
+        ["--antennas", str(A), "--fft-size", str(F), "--cp-size", "0",
+         "--frame-len", str(fl), "--num-frames", "3", "--drop-dirty",
+         "--batch-frames", "2", "--no-timer", "--output", out,
+         "--pilots", str(workdir / "none.dat")])
+    assert rc == 0
+    rows = np.fromfile(out, dtype=np.complex64).reshape(-1, F - 1)
+    assert rows.shape[0] == 2 * (fl - 1)          # only the clean frames
+    lines = [ln.split() for ln in open(out + ".index").read().splitlines()]
+    assert [ln[1] for ln in lines] == ["clean", "dropped-dirty", "clean"]
+    assert [int(ln[0]) for ln in lines] == [0, 1, 2]   # delivery order
+    # Emitted row ranges skip the dropped frame.
+    assert [(int(ln[2]), int(ln[3])) for ln in lines] == [
+        (0, fl - 1), (-1, -1), (fl - 1, 2 * (fl - 1))]
 
 
 def test_per_symbol_one_deep_pipeline_order(workdir, monkeypatch):

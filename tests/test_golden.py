@@ -114,6 +114,20 @@ class TestEndToEnd:
         got = demap_symbols(out, scheme)
         assert np.array_equal(got, idx % const.size)
 
+    def test_demap_chunking_matches_and_keeps_shape(self, rng):
+        """demap_symbols processes a flat chunked view (bounded memory for
+        capture-file-sized inputs); results must be identical across chunk
+        boundaries and preserve the input's N-D shape."""
+        from ofdm_ls_mrc_tpu.sim import demap_symbols, map_symbols
+        # > 1<<20/64 elements so the 64-QAM path spans several chunks.
+        idx = rng.integers(0, 64, size=(40, 1023))
+        syms = map_symbols(idx, "64qam") + (
+            0.01 * (rng.standard_normal((40, 1023))
+                    + 1j * rng.standard_normal((40, 1023)))).astype(np.complex64)
+        got = demap_symbols(syms, "64qam")
+        assert got.shape == idx.shape
+        assert np.array_equal(got, idx)
+
     def test_noiseless_loopback_is_exact(self, rng):
         a, f, cp, s = 2, 64, 8, 5
         data, _ = random_symbols(rng, (s - 1, f - 1), "qpsk")

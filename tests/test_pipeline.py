@@ -273,11 +273,19 @@ def test_gate_mode_book_and_cli(tmp_path):
                         "kernel_precision": "exact", "antennas": 16,
                         "fft": 1024, "symbols": 101, "mesh": None}}
     cli = gate._mode_cli(entry["config"])
+    # Variant fields absent from pre-r3 records rebuild the bench defaults.
     assert cli == ["--input", "sc16", "--pipeline", "fused",
                    "--kernel-precision", "exact", "--antennas", "16",
-                   "--fft", "1024", "--symbols", "101"]
-    mesh_cli = gate._mode_cli({**entry["config"], "mesh": "1x1"})
-    assert mesh_cli[-2:] == ["--mesh", "1x1"]
+                   "--fft", "1024", "--symbols", "101",
+                   "--sharded-entry", "split", "--cp-where", "host"]
+    mesh_cli = gate._mode_cli({**entry["config"], "mesh": "1x1",
+                               "sharded_entry": "whole",
+                               "fuse_estimate": True,
+                               "cp_where": "device"})
+    assert "--mesh" in mesh_cli and "1x1" in mesh_cli
+    assert mesh_cli[mesh_cli.index("--sharded-entry") + 1] == "whole"
+    assert "--fuse-estimate" in mesh_cli
+    assert mesh_cli[mesh_cli.index("--cp-where") + 1] == "device"
 
     book_path = tmp_path / "BENCH_MODES.json"
     book_path.write_text(json.dumps({"sc16-exact": entry}))

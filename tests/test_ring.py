@@ -591,6 +591,69 @@ class TestDropResync:
             r.close()
             w.close()
 
+    def test_feed_writer_seq_after_prior_consumer(self):
+        """A feed attaching to a ring a PREVIOUS consumer already read from
+        seeds its writer-stream cursor from the ring's monotonic tail: the
+        provenance ordinal is the TRUE writer frame index, not an ordinal
+        relative to this reader's attach point."""
+        from ofdm_ls_mrc_tpu import FrameConfig
+        from ofdm_ls_mrc_tpu.io.feed import RingFeed
+
+        cfg = FrameConfig(num_antennas=ROWS, fft_size=COLS, cyclic_prefix=0,
+                          frame_len=3)
+        uid = _uid()
+        cap = 4 * cfg.frame_len
+        w = SymbolRing(uid, ROWS, COLS, cap, master=True, timeout=10.0)
+        r = SymbolRing(uid, ROWS, COLS, cap, master=False, timeout=10.0)
+        try:
+            for k in range(3):
+                for s in range(cfg.frame_len):
+                    w.write(np.full((ROWS, COLS), float(k) + 1j * s,
+                                    np.complex64))
+            # A prior consumer read frame 0 whole and exited.
+            assert r.skip(cfg.frame_len) == cfg.frame_len
+            assert r.consumed == cfg.frame_len
+            feed = RingFeed(r, cfg)
+            frame = next(feed.frames(max_frames=1))
+            assert float(np.asarray(frame.re)[0, 0, 0]) == 1.0
+            assert feed.last_frame_writer_seq == 1
+            feed.stop()
+        finally:
+            r.close()
+            w.close()
+
+    def test_feed_realigns_after_mid_frame_consumer_exit(self):
+        """A prior consumer that exited MID-frame (no drops) leaves the tail
+        off a frame boundary; the attaching feed discards only up to the
+        next writer-stream boundary (no backlog drain) and delivers aligned
+        frames with correct ordinals."""
+        from ofdm_ls_mrc_tpu import FrameConfig
+        from ofdm_ls_mrc_tpu.io.feed import RingFeed
+
+        cfg = FrameConfig(num_antennas=ROWS, fft_size=COLS, cyclic_prefix=0,
+                          frame_len=3)
+        uid = _uid()
+        cap = 4 * cfg.frame_len
+        w = SymbolRing(uid, ROWS, COLS, cap, master=True, timeout=10.0)
+        r = SymbolRing(uid, ROWS, COLS, cap, master=False, timeout=10.0)
+        try:
+            for k in range(3):
+                for s in range(cfg.frame_len):
+                    w.write(np.full((ROWS, COLS), float(k) + 1j * s,
+                                    np.complex64))
+            # Prior consumer stopped one symbol INTO frame 1.
+            assert r.skip(cfg.frame_len + 1) == cfg.frame_len + 1
+            feed = RingFeed(r, cfg)
+            frame = next(feed.frames(max_frames=1))
+            # The rest of frame 1 is discarded; frame 2 arrives aligned.
+            assert float(np.asarray(frame.re)[0, 0, 0]) == 2.0
+            assert float(np.asarray(frame.im)[0, 0, 0]) == 0.0
+            assert feed.last_frame_writer_seq == 2
+            feed.stop()
+        finally:
+            r.close()
+            w.close()
+
 
 def _xproc_producer(uid, n, rows, cols, length):
     import numpy as np

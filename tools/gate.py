@@ -75,6 +75,12 @@ def _mode_cli(cfg: dict):
            "--symbols", str(cfg["symbols"])]
     if cfg.get("mesh"):
         out += ["--mesh", cfg["mesh"]]
+    # Variant fields absent from pre-r3 records default to the bench
+    # defaults they were recorded with.
+    out += ["--sharded-entry", cfg.get("sharded_entry", "split")]
+    if cfg.get("fuse_estimate"):
+        out += ["--fuse-estimate"]
+    out += ["--cp-where", cfg.get("cp_where", "host")]
     return out
 
 

@@ -89,10 +89,42 @@ def build_parser() -> argparse.ArgumentParser:
     return ap
 
 
-def _spawn(mod, args, env):
-    return subprocess.Popen([sys.executable, "-m", mod] + args, cwd=REPO,
-                            env=env, stdout=subprocess.PIPE,
-                            stderr=subprocess.PIPE, text=True)
+def _spawn(mod, args, env, log_base):
+    # Redirect to files, not PIPEs: a paced soak can emit thousands of
+    # per-event stderr lines (RingFeed drop notices) and an undrained pipe
+    # fills at ~64 KB, wedging the child mid-soak -- the verdict would then
+    # measure a blocked consumer, not the configured pressure.
+    out_f = open(log_base + ".out", "w+")
+    err_f = open(log_base + ".err", "w+")
+    p = subprocess.Popen([sys.executable, "-m", mod] + args, cwd=REPO,
+                         env=env, stdout=out_f, stderr=err_f, text=True)
+    p._soak_logs = (out_f, err_f)
+    return p
+
+
+def _finish(p, timeout, interrupt=False):
+    """Wait for a child (escalating SIGINT->SIGKILL) and return its logs."""
+    try:
+        p.wait(timeout=timeout)
+    except subprocess.TimeoutExpired:
+        if interrupt:
+            p.send_signal(signal.SIGINT)
+            try:
+                p.wait(timeout=60)
+            except subprocess.TimeoutExpired:
+                p.kill()
+                p.wait()
+        else:
+            p.kill()
+            p.wait()
+    out_f, err_f = p._soak_logs
+    texts = []
+    for fh in (out_f, err_f):
+        fh.flush()
+        fh.seek(0)
+        texts.append(fh.read())
+        fh.close()
+    return texts
 
 
 def main(argv=None) -> int:
@@ -145,7 +177,7 @@ def main(argv=None) -> int:
                  "--timeout", args.timeout]
                 + (["--continuous-sync"] if args.continuous_sync else [])
                 + (["--file-format", "sc16"] if sc16 else []) + ring + geom,
-                env)
+                env, os.path.join(workdir, "rx"))
     dm_extra = []
     if args.sc16_native:
         dm_extra += ["--sc16-native"]
@@ -157,7 +189,7 @@ def main(argv=None) -> int:
                 ["--shm-uid", uid, "--output", out, "--num-frames", "0",
                  "--catch-up", "--no-timer", "--pilots", args.pilots,
                  "--timeout", args.timeout] + ring + dm_extra + geom,
-                env)
+                env, os.path.join(workdir, "demod"))
 
     # --seconds measures STEADY-STATE pressure: start the countdown once the
     # consumer has demodulated its first frame (the provenance index flushes
@@ -177,20 +209,8 @@ def main(argv=None) -> int:
         time.sleep(0.5)
     if rx.poll() is None:
         rx.send_signal(signal.SIGINT)     # master drains + shutdown sentinel
-    try:
-        rx_out, rx_err = rx.communicate(timeout=120)
-    except subprocess.TimeoutExpired:
-        rx.kill()
-        rx_out, rx_err = rx.communicate()
-    try:
-        dm_out, dm_err = dm.communicate(timeout=300)
-    except subprocess.TimeoutExpired:
-        dm.send_signal(signal.SIGINT)
-        try:
-            dm_out, dm_err = dm.communicate(timeout=60)
-        except subprocess.TimeoutExpired:
-            dm.kill()
-            dm_out, dm_err = dm.communicate()
+    rx_out, rx_err = _finish(rx, timeout=120)
+    dm_out, dm_err = _finish(dm, timeout=300, interrupt=True)
 
     # 2. Score per delivered frame, keyed by the provenance index.  The
     #    5th column (writer-stream frame ordinal) selects WHICH sent grid a
