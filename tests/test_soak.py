@@ -47,6 +47,34 @@ def test_soak_continuous_sync(tmp_path):
     assert rec["producer_sync"].startswith("continuous sync:")
 
 
+def test_soak_per_symbol_consumer(tmp_path):
+    """The consumer leg runs the reference's per-symbol runtime loop
+    (firstVector + demodOneSymbol, cpuLS_main.cpp:80-93) against a
+    BACKPRESSURED producer (writeNextSymbolWithWait semantics) and the
+    verdict holds without a provenance index."""
+    env = {**os.environ, "JAX_PLATFORMS": "cpu"}
+    r = subprocess.run(
+        [sys.executable, os.path.join(REPO, "tools", "soak.py"),
+         "--seconds", "8", "--min-frames", "2", "--num-frames", "1",
+         "--consumer", "per-symbol", "--dir", str(tmp_path)],
+        cwd=REPO, env=env, capture_output=True, text=True, timeout=280)
+    assert r.returncode == 0, r.stdout + r.stderr
+    rec = json.loads(r.stdout.strip().splitlines()[-1])
+    assert rec["pass"] and rec["clean_frames"] >= 2
+    assert rec["consumer"] == "per-symbol"
+    assert rec["dirty_frames"] == 0          # backpressure: no overruns
+    assert rec["evm_clean_db"]["max"] <= -25.0
+
+
+def test_soak_per_symbol_rejects_multi_frame():
+    r = subprocess.run(
+        [sys.executable, os.path.join(REPO, "tools", "soak.py"),
+         "--consumer", "per-symbol", "--num-frames", "3"],
+        cwd=REPO, capture_output=True, text=True, timeout=60)
+    assert r.returncode == 2
+    assert "--num-frames 1" in r.stderr
+
+
 def test_soak_continuous_sync_rejects_multi_frame():
     r = subprocess.run(
         [sys.executable, os.path.join(REPO, "tools", "soak.py"),

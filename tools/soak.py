@@ -58,6 +58,16 @@ def build_parser() -> argparse.ArgumentParser:
                          "each delivered frame is scored against ITS OWN "
                          "sent grid via the writer-seq provenance column")
     ap.add_argument("--ring-dtype", default="cf32", choices=["cf32", "sc16"])
+    ap.add_argument("--consumer", default="whole-frame",
+                    choices=["whole-frame", "per-symbol"],
+                    help="whole-frame: catch-up RingFeed consumer under a "
+                         "no-wait producer (overrun pressure).  per-symbol: "
+                         "the reference's main runtime loop (firstVector + "
+                         "demodOneSymbol, cpuLS_main.cpp:80-93) under a "
+                         "BACKPRESSURED producer (--wait-writes, the "
+                         "writeNextSymbolWithWait shape); requires "
+                         "--num-frames 1 (no provenance index in this mode: "
+                         "all output rows score against the one sent grid)")
     ap.add_argument("--continuous-sync", action="store_true",
                     help="producer runs the rolling receive loop (per-buffer "
                          "PN correlate / cross-buffer stitch / re-acquire, "
@@ -134,6 +144,16 @@ def main(argv=None) -> int:
               "after the capture-cycle discontinuity breaks per-frame "
               "attribution of distinct sent grids)", file=sys.stderr)
         return 2
+    per_symbol = args.consumer == "per-symbol"
+    if per_symbol and args.num_frames != 1:
+        print("--consumer per-symbol requires --num-frames 1 (that mode "
+              "has no provenance index; scoring needs one sent grid)",
+              file=sys.stderr)
+        return 2
+    if per_symbol and (args.sc16_native or args.mesh):
+        print("--consumer per-symbol is a plain streaming mode "
+              "(no --sc16-native/--mesh)", file=sys.stderr)
+        return 2
     workdir = args.dir or os.path.join(
         "/tmp", f"ofdm_soak_{uuid.uuid4().hex[:8]}")
     os.makedirs(workdir, exist_ok=True)
@@ -176,6 +196,7 @@ def main(argv=None) -> int:
                  "--rate", args.rate, "--thres", "0.05",
                  "--timeout", args.timeout]
                 + (["--continuous-sync"] if args.continuous_sync else [])
+                + (["--wait-writes"] if per_symbol else [])
                 + (["--file-format", "sc16"] if sc16 else []) + ring + geom,
                 env, os.path.join(workdir, "rx"))
     dm_extra = []
@@ -185,10 +206,15 @@ def main(argv=None) -> int:
         dm_extra += ["--mesh", args.mesh]
     if args.pipeline:
         dm_extra += ["--pipeline", args.pipeline]
+    # per-symbol: the reference's per-symbol runtime loop against a
+    # BACKPRESSURED producer (writeNextSymbolWithWait semantics) -- no
+    # overruns, no RingFeed, no provenance index.
+    dm_mode = (["--per-symbol"] if per_symbol else ["--catch-up"])
     dm = _spawn("ofdm_ls_mrc_tpu.apps.demod_app",
                 ["--shm-uid", uid, "--output", out, "--num-frames", "0",
-                 "--catch-up", "--no-timer", "--pilots", args.pilots,
-                 "--timeout", args.timeout] + ring + dm_extra + geom,
+                 "--no-timer", "--pilots", args.pilots,
+                 "--timeout", args.timeout] + dm_mode + ring + dm_extra
+                + geom,
                 env, os.path.join(workdir, "demod"))
 
     # --seconds measures STEADY-STATE pressure: start the countdown once the
@@ -199,7 +225,8 @@ def main(argv=None) -> int:
     while time.time() < warm_deadline:
         if rx.poll() is not None or dm.poll() is not None:
             break
-        if os.path.exists(out + ".index") and os.path.getsize(out + ".index"):
+        first_out = out if per_symbol else out + ".index"
+        if os.path.exists(first_out) and os.path.getsize(first_out):
             break
         time.sleep(0.2)
     deadline = time.time() + args.seconds
@@ -270,6 +297,7 @@ def main(argv=None) -> int:
         "ring_dtype": args.ring_dtype,
         "rate": args.rate,
         "sync": "continuous" if args.continuous_sync else "one-shot",
+        "consumer": args.consumer,
         "sent_frames": nsent,
         "clean_frames": len(evm_clean),
         "dirty_frames": len(evm_dirty),
