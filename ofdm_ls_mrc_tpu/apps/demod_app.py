@@ -682,6 +682,14 @@ def _make_feed(ring, cfg, cp_size, timer, catch_up=False, device_shape=None,
         def dropped(self):
             return self._ring.dropped
 
+        @property
+        def consumed(self):
+            return self._ring.consumed
+
+        @property
+        def dtype(self):
+            return self._ring.dtype
+
         def skip(self, n):
             return self._ring.skip(n)
 

@@ -134,7 +134,12 @@ class RingFeed:
         if int16 and timer is not None:
             raise ValueError("int16 feed uses the bulk read path; "
                              "per-slot read timing is unavailable")
-        if int16 and not hasattr(ring, "read_frame_planar_i16"):
+        if int16 and (not hasattr(ring, "read_frame_planar_i16")
+                      or getattr(ring, "dtype", "sc16") != "sc16"):
+            # Catch the dtype mismatch HERE, not as a RingError on the
+            # reader thread at first read: every SymbolRing has the i16
+            # entry point, only sc16 rings can serve it.  (getattr default
+            # keeps duck-typed test rings usable.)
             raise ValueError("int16 feed requires an sc16 ring "
                              "(read_frame_planar_i16)")
         self._buffers = [FrameAssembler(cfg, np.int16 if int16 else np.float32)
@@ -283,6 +288,18 @@ class RingFeed:
                           f"discarding the in-flight frame and resyncing",
                           file=sys.stderr)
                     self._pending_resync = True
+                if (self._consumed_symbols + self._dropped_seen) % fl:
+                    # A resync gave up (fresh drops on every pass): the
+                    # cursor sits OFF a writer frame boundary, so this frame
+                    # is misaligned regardless of what the drop counter did
+                    # during its read.  Deliver it dirty -- never clean --
+                    # and keep trying to realign; without this, a burst that
+                    # outruns all resync passes and then stops would stream
+                    # permanently misaligned frames flagged clean.
+                    if not dirty:
+                        self.dirty_frames += 1
+                        dirty = True
+                    self._pending_resync = True
                 wseq = (self._consumed_symbols + self._dropped_seen) // fl - 1
                 self._ready.put((buf, dirty, wseq))
         except (RingShutdown, RingTimeout) as e:
@@ -294,7 +311,13 @@ class RingFeed:
 
     # -- consumer side -------------------------------------------------------------
     def frames(self, max_frames: Optional[int] = None) -> Iterator[CArray]:
-        """Yield device-resident planar frames until shutdown/timeout."""
+        """Yield device-resident planar frames until shutdown/timeout.
+
+        One-shot: the feed owns one reader thread and its stop sentinel, so
+        a second call would hang on a drained queue -- fail loud instead."""
+        if self._reader is not None:
+            raise RuntimeError("RingFeed.frames() was already consumed; "
+                               "create a new RingFeed to keep reading")
         self._reader = threading.Thread(target=self._read_loop, daemon=True)
         self._reader.start()
         n = 0

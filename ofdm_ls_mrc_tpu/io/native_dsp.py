@@ -8,16 +8,11 @@ host-side fallback demodulator when no accelerator is present.
 from __future__ import annotations
 
 import ctypes
-import os
-import subprocess
 import threading
 
 import numpy as np
 
-_REPO_ROOT = os.path.abspath(os.path.join(os.path.dirname(__file__), "..", ".."))
-_NATIVE_DIR = os.path.join(_REPO_ROOT, "native")
-_SO_PATH = os.path.join(_NATIVE_DIR, "build", "libgolden_dsp.so")
-_SRC_PATH = os.path.join(_NATIVE_DIR, "golden_dsp", "golden_dsp.cpp")
+from ._native import load_native
 
 _lib = None
 _lock = threading.Lock()
@@ -30,10 +25,7 @@ def _load() -> ctypes.CDLL:
     with _lock:
         if _lib is not None:
             return _lib
-        if (not os.path.exists(_SO_PATH)
-                or os.path.getmtime(_SO_PATH) < os.path.getmtime(_SRC_PATH)):
-            subprocess.run(["make", "-s", "-C", _NATIVE_DIR], check=True)
-        lib = ctypes.CDLL(_SO_PATH)
+        lib = load_native("libgolden_dsp.so", "golden_dsp/golden_dsp.cpp")
         lib.ofdm_fft.argtypes = [_F32P, ctypes.c_int, ctypes.c_int]
         lib.ofdm_fftshift.argtypes = [_F32P, ctypes.c_int]
         lib.ofdm_ifftshift.argtypes = [_F32P, ctypes.c_int]

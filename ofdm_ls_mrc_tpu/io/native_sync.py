@@ -11,17 +11,12 @@ library is available.
 from __future__ import annotations
 
 import ctypes
-import os
-import subprocess
 import threading
 from typing import Optional, Tuple
 
 import numpy as np
 
-_REPO_ROOT = os.path.abspath(os.path.join(os.path.dirname(__file__), "..", ".."))
-_NATIVE_DIR = os.path.join(_REPO_ROOT, "native")
-_SO_PATH = os.path.join(_NATIVE_DIR, "build", "libpn_sync.so")
-_SRC_PATH = os.path.join(_NATIVE_DIR, "pn_sync", "pn_sync.cpp")
+from ._native import load_native
 
 _lib: Optional[ctypes.CDLL] = None
 _lock = threading.Lock()
@@ -37,12 +32,9 @@ def _load() -> Optional[ctypes.CDLL]:
     with _lock:
         if _lib is not None:
             return _lib
-        try:
-            if (not os.path.exists(_SO_PATH)
-                    or os.path.getmtime(_SO_PATH) < os.path.getmtime(_SRC_PATH)):
-                subprocess.run(["make", "-s", "-C", _NATIVE_DIR], check=True)
-            lib = ctypes.CDLL(_SO_PATH)
-        except (OSError, subprocess.CalledProcessError):
+        lib = load_native("libpn_sync.so", "pn_sync/pn_sync.cpp",
+                          optional=True)
+        if lib is None:
             _unavailable = True
             return None
         for name in ("pn_corr_first", "pn_corr_peak", "pn_corr_mags"):

@@ -13,17 +13,12 @@ the toolchain contract); no pip packages involved.
 from __future__ import annotations
 
 import ctypes
-import os
-import subprocess
 import threading
 from typing import Optional, Tuple
 
 import numpy as np
 
-_REPO_ROOT = os.path.abspath(os.path.join(os.path.dirname(__file__), "..", ".."))
-_NATIVE_DIR = os.path.join(_REPO_ROOT, "native")
-_SO_PATH = os.path.join(_NATIVE_DIR, "build", "libshm_ring.so")
-_SRC_PATH = os.path.join(_NATIVE_DIR, "shm_ring", "shm_ring.cpp")
+from ._native import load_native
 
 RING_OK = 0
 RING_TIMEOUT = -1
@@ -47,19 +42,12 @@ class RingShutdown(RingError):
     pass
 
 
-def _build_library() -> None:
-    subprocess.run(["make", "-s", "-C", _NATIVE_DIR], check=True)
-
-
 def _load() -> ctypes.CDLL:
     global _lib
     with _lib_lock:
         if _lib is not None:
             return _lib
-        if (not os.path.exists(_SO_PATH)
-                or os.path.getmtime(_SO_PATH) < os.path.getmtime(_SRC_PATH)):
-            _build_library()
-        lib = ctypes.CDLL(_SO_PATH)
+        lib = load_native("libshm_ring.so", "shm_ring/shm_ring.cpp")
         lib.ring_open.restype = ctypes.c_void_p
         lib.ring_open.argtypes = [ctypes.c_char_p, ctypes.c_int, ctypes.c_int,
                                   ctypes.c_int, ctypes.c_int, ctypes.c_double]
@@ -200,7 +188,7 @@ class SymbolRing:
                 sym = complex_to_sc16(c)
             rc = self._lib.ring_write_sc16(
                 self._handle, sym.ctypes.data_as(ctypes.POINTER(ctypes.c_int16)),
-                1 if wait else 0, timeout or self._timeout)
+                1 if wait else 0, (self._timeout if timeout is None else timeout))
         else:
             sym = np.ascontiguousarray(symbol, dtype=np.complex64)
             if sym.shape != (self.rows, self.cols):
@@ -208,7 +196,7 @@ class SymbolRing:
             buf = sym.view(np.float32)
             rc = self._lib.ring_write(
                 self._handle, buf.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
-                1 if wait else 0, timeout or self._timeout)
+                1 if wait else 0, (self._timeout if timeout is None else timeout))
         if rc == RING_OVERRUN and not wait:
             return False
         _check(rc, "ring_write")
@@ -248,7 +236,7 @@ class SymbolRing:
             rc = self._lib.ring_write_batch_sc16(
                 self._handle,
                 syms.ctypes.data_as(ctypes.POINTER(ctypes.c_int16)),
-                syms.shape[0], 1 if wait else 0, timeout or self._timeout)
+                syms.shape[0], 1 if wait else 0, (self._timeout if timeout is None else timeout))
         else:
             syms = np.ascontiguousarray(symbols, dtype=np.complex64)
             if syms.ndim != 3 or syms.shape[1:] != (self.rows, self.cols):
@@ -258,7 +246,7 @@ class SymbolRing:
             rc = self._lib.ring_write_batch(
                 self._handle,
                 buf.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
-                syms.shape[0], 1 if wait else 0, timeout or self._timeout)
+                syms.shape[0], 1 if wait else 0, (self._timeout if timeout is None else timeout))
         if rc < 0:
             _check(rc, "ring_write_batch")
         return rc
@@ -272,7 +260,7 @@ class SymbolRing:
             out = np.empty((self.rows, keep), dtype=np.complex64)
         buf = out.view(np.float32)
         rc = fn(self._handle, buf.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
-                cp, 1 if planar else 0, timeout or self._timeout)
+                cp, 1 if planar else 0, (self._timeout if timeout is None else timeout))
         _check(rc, fn.__name__ if hasattr(fn, "__name__") else "ring_read")
         return out
 
@@ -311,7 +299,7 @@ class SymbolRing:
         rc = self._lib.ring_read_frame(
             self._handle, out_re.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
             out_im.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
-            n, cp, timeout or self._timeout)
+            n, cp, (self._timeout if timeout is None else timeout))
         _check(rc, "ring_read_frame")
         return out_re, out_im
 
@@ -340,7 +328,7 @@ class SymbolRing:
         p16 = ctypes.POINTER(ctypes.c_int16)
         rc = self._lib.ring_read_frame_i16(
             self._handle, out_re.ctypes.data_as(p16),
-            out_im.ctypes.data_as(p16), n, cp, timeout or self._timeout)
+            out_im.ctypes.data_as(p16), n, cp, (self._timeout if timeout is None else timeout))
         _check(rc, "ring_read_frame_i16")
         return out_re, out_im
 
@@ -401,7 +389,7 @@ class SymbolRing:
         """Block until the reader consumed everything written (master-side
         teardown handshake).  Returns False on timeout; a shut-down ring
         counts as drained (the peer has exited)."""
-        rc = self._lib.ring_wait_drained(self._handle, timeout or self._timeout)
+        rc = self._lib.ring_wait_drained(self._handle, (self._timeout if timeout is None else timeout))
         if rc == RING_TIMEOUT:
             return False
         if rc == RING_SHUTDOWN:

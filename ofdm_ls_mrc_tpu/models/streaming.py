@@ -53,11 +53,8 @@ def _estimate_symbol_fused_fn(pilot: CArray, x_perm: CArray, *, cp: int):
     from ..ops import fastpath
 
     yp = fastpath.fft_permuted(drop_cyclic_prefix(pilot, cp))
-    denom = 1.0 / x_perm.abs2()
-    hre = (yp.re * x_perm.re + yp.im * x_perm.im) * denom
-    him = (yp.im * x_perm.re - yp.re * x_perm.im) * denom
-    hsqinv = 1.0 / jnp.sum(hre * hre + him * him, axis=0)
-    return CArray(hre, him), hsqinv
+    h, hsq = fastpath.ls_permuted(yp, x_perm)
+    return h, 1.0 / hsq
 
 
 def _demod_symbol_fused_fn(sym: CArray, h: CArray, hsqinv: jnp.ndarray,

@@ -151,7 +151,15 @@ class UplinkReceiver:
                 cp=cfg.cyclic_prefix), donate_argnums=donate_args)
         else:
             if self.fft_impl == "xla" and pipeline != "composed":
-                pipeline = self.pipeline = "composed"  # complex-dtype backends
+                # Complex-dtype ('xla' fft) backends have no planar
+                # fused/fast program; downgrade LOUDLY like the other
+                # receivers (warn_fused_fallback's fail-loud rule).
+                import warnings
+                warnings.warn(
+                    f"UplinkReceiver: {pipeline!r} pipeline unavailable on "
+                    f"the complex-dtype ('xla' fft) path; using 'composed'",
+                    RuntimeWarning, stacklevel=2)
+                pipeline = self.pipeline = "composed"
             self._demod_frame = jax.jit(
                 functools.partial(demod_frame_fn, x_full=self.x_full, **kw),
                 donate_argnums=donate_args)

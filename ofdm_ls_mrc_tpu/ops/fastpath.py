@@ -32,7 +32,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from .cplx import CArray
-from .fft import _dft_matrix, _split, _twiddle
+from .fft import _split, _twiddle
 
 
 def _fast_split(n: int) -> Tuple[int, int]:
@@ -71,6 +71,13 @@ def _karatsuba_consts(n: int, sign: float):
 def _cgemm_kara(xre, xim, consts, spec: str, precision) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Karatsuba complex GEMM: 3 real einsums instead of 4."""
     wr, wi_m_wr, wr_p_wi = (jnp.asarray(c) for c in consts)
+    if not jnp.issubdtype(jnp.result_type(xre), jnp.floating):
+        # sc16-native planar int16 reaching the XLA fastpath (e.g. via a
+        # fused->fast fallback): widen BEFORE the Karatsuba pre-sum --
+        # xre + xim of two near-full-scale int16 samples wraps at +/-32767.
+        # The sc16 full-scale factor cancels in LS/MRC downstream.
+        xre = xre.astype(jnp.float32)
+        xim = xim.astype(jnp.float32)
     t1 = jnp.einsum(spec, xre + xim, wr, precision=precision)
     t2 = jnp.einsum(spec, xre, wi_m_wr, precision=precision)
     t3 = jnp.einsum(spec, xim, wr_p_wi, precision=precision)
@@ -138,6 +145,41 @@ def _edge_gather(f: int) -> np.ndarray:
     return inv[t].astype(np.int32)
 
 
+def ls_permuted(pilot_spec: CArray, x_perm: CArray) -> Tuple[CArray, jnp.ndarray]:
+    """LS channel estimate in permuted frequency order (reference math:
+    findHs, gpuLS.cu:158-182, minus the conjugate -- callers fold conj(h)
+    into the MRC multiply directly).
+
+    Args:
+      pilot_spec: [A, F] (or [A_local, F]) permuted-order pilot spectrum,
+                  i.e. fft_permuted output.
+      x_perm:     [F] planar padded pilot in permuted order
+                  (prepare_pilot_fast).
+
+    Returns:
+      (h, hsq): planar estimate [A, F] and sum_a |h|^2 [F].  The DC bin
+      needs no masking: x_perm holds 1 at inv[0] and the edge gather never
+      reads that position.  This is THE one definition shared by every
+      permuted-order pipeline (fast, fused, sharded, streaming).
+    """
+    denom = 1.0 / x_perm.abs2()
+    hre = (pilot_spec.re * x_perm.re + pilot_spec.im * x_perm.im) * denom
+    him = (pilot_spec.im * x_perm.re - pilot_spec.re * x_perm.im) * denom
+    return CArray(hre, him), jnp.sum(hre * hre + him * him, axis=0)
+
+
+def widen_sc16(x: CArray) -> CArray:
+    """Planar int16 -> full-scale float32; float inputs pass through.
+
+    The fused kernel widens its data rows in VMEM; this covers the
+    XLA-side pilot leg of sc16-native flows."""
+    if jnp.issubdtype(jnp.result_type(x.re), jnp.integer):
+        from ..golden.io import SC16_FULL_SCALE
+        return CArray(x.re.astype(jnp.float32) / SC16_FULL_SCALE,
+                      x.im.astype(jnp.float32) / SC16_FULL_SCALE)
+    return x
+
+
 def demod_frame_fast(frame: CArray, x_full_perm: CArray, *, cp: int,
                      precision=None) -> CArray:
     """Whole-frame demod in permuted frequency order, one edge gather.
@@ -153,15 +195,8 @@ def demod_frame_fast(frame: CArray, x_full_perm: CArray, *, cp: int,
     """
     y = frame if cp == 0 else frame[..., cp:]
     yf = fft_permuted(y, precision)                  # [S, A, F] permuted
-    # LS estimate in permuted order (DC sits at inv[0] but since x_perm has 1
-    # there and the edge gather never reads it, no masking is needed).
-    p = yf[0]
-    denom = 1.0 / x_full_perm.abs2()
-    hre = (p.re * x_full_perm.re + p.im * x_full_perm.im) * denom
-    him = (p.im * x_full_perm.re - p.re * x_full_perm.im) * denom
-    # hconj = conj(h); fold the conjugate into the MRC multiply directly.
-    hsq = hre * hre + him * him                       # |h|^2 per antenna
-    hsqrd = jnp.sum(hsq, axis=0)                      # [F]
+    h, hsqrd = ls_permuted(yf[0], x_full_perm)
+    hre, him = h.re, h.im
     data = yf[1:]
     # num = sum_a data * conj(h)
     num_re = jnp.sum(data.re * hre[None] + data.im * him[None], axis=1)

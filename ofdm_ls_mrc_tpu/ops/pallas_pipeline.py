@@ -715,17 +715,10 @@ def demod_parts_fused(pilot: CArray, data: CArray, x_full_perm: CArray, *,
         f = data.shape[-2] * data.shape[-1]
     else:
         f = data.shape[-1]
-    if jnp.issubdtype(pilot.re.dtype, jnp.integer):
-        from ..golden.io import SC16_FULL_SCALE
-        pilot = CArray(pilot.re.astype(jnp.float32) / SC16_FULL_SCALE,
-                       pilot.im.astype(jnp.float32) / SC16_FULL_SCALE)
-    p = fastpath.fft_permuted(pilot)                   # [A, F]
-    denom = 1.0 / x_full_perm.abs2()
-    hre = (p.re * x_full_perm.re + p.im * x_full_perm.im) * denom
-    him = (p.im * x_full_perm.re - p.re * x_full_perm.im) * denom
-    hsqinv = 1.0 / jnp.sum(hre * hre + him * him, axis=0)
-    eq = fused_pipeline(data, hre, him, hsqinv, ts=ts, interpret=interpret,
-                        exact=exact, schedule=schedule)
+    p = fastpath.fft_permuted(fastpath.widen_sc16(pilot))   # [A, F]
+    h, hsq = fastpath.ls_permuted(p, x_full_perm)
+    eq = fused_pipeline(data, h.re, h.im, 1.0 / hsq, ts=ts,
+                        interpret=interpret, exact=exact, schedule=schedule)
     return to_reference_order(eq, f)
 
 
@@ -774,18 +767,11 @@ def demod_frame_fused(frame: CArray, x_full_perm: CArray, *, cp: int,
                             schedule=schedule, fuse_estimate=True)
         return to_reference_order(eq, f)[1:]
 
-    # Pilot symbol: one-off XLA FFT; LS estimate in permuted order.
-    if jnp.issubdtype(pilot_3d.re.dtype, jnp.integer):
-        # sc16-native frames: widen+scale the pilot row for the XLA side
-        # (the data rows convert in-kernel; see fused_pipeline).
-        from ..golden.io import SC16_FULL_SCALE
-        pilot_3d = CArray(pilot_3d.re.astype(jnp.float32) / SC16_FULL_SCALE,
-                          pilot_3d.im.astype(jnp.float32) / SC16_FULL_SCALE)
-    p = fastpath.fft_permuted(pilot_3d)                # [A, F]
-    denom = 1.0 / x_full_perm.abs2()
-    hre = (p.re * x_full_perm.re + p.im * x_full_perm.im) * denom
-    him = (p.im * x_full_perm.re - p.re * x_full_perm.im) * denom
-    hsqinv = 1.0 / jnp.sum(hre * hre + him * him, axis=0)
+    # Pilot symbol: one-off XLA FFT; LS estimate in permuted order (the
+    # data rows of sc16-native frames convert in-kernel; see fused_pipeline).
+    p = fastpath.fft_permuted(fastpath.widen_sc16(pilot_3d))  # [A, F]
+    h, hsq = fastpath.ls_permuted(p, x_full_perm)
+    hre, him, hsqinv = h.re, h.im, 1.0 / hsq
 
     # The kernel runs over ALL S symbols, pilot row included: slicing the
     # data rows first (y[1:]) would copy the whole ~13 MB frame in HBM

@@ -8,7 +8,12 @@ from .mesh import (
     output_sharding,
     pilot_sharding,
 )
-from .multihost import global_from_host_blocks, initialize, make_multihost_mesh
+from .multihost import (
+    global_from_antenna_blocks,
+    global_from_host_blocks,
+    initialize,
+    make_multihost_mesh,
+)
 from .sharded import ShardedUplinkReceiver
 from .sharded_downlink import ShardedDownlinkTransmitter
 
@@ -18,6 +23,7 @@ __all__ = [
     "ShardedDownlinkTransmitter",
     "ShardedUplinkReceiver",
     "frame_sharding",
+    "global_from_antenna_blocks",
     "global_from_host_blocks",
     "initialize",
     "make_multihost_mesh",

@@ -33,10 +33,13 @@ def initialize(coordinator_address: Optional[str] = None,
     Thin wrapper so apps have one entry point; with no args JAX reads the
     cluster env (TPU pods auto-configure).  Safe to call once per process.
     """
-    kwargs = {}
-    if coordinator_address is not None:
-        kwargs.update(coordinator_address=coordinator_address,
-                      num_processes=num_processes, process_id=process_id)
+    # Pass through exactly what the caller pinned; jax.distributed accepts
+    # any subset (e.g. num_processes/process_id with the coordinator taken
+    # from the environment) -- dropping a given field would silently
+    # auto-configure the wrong topology.
+    kwargs = {k: v for k, v in (("coordinator_address", coordinator_address),
+                                ("num_processes", num_processes),
+                                ("process_id", process_id)) if v is not None}
     jax.distributed.initialize(**kwargs)
 
 
@@ -51,6 +54,10 @@ def make_multihost_mesh(ant_shards: Optional[int] = None,
     n_proc = jax.process_count()
     ant = ant_shards or n_local
     time = time_shards or n_proc
+    have = len(jax.devices())
+    if ant * time > have:
+        raise ValueError(f"mesh {ant}x{time} needs {ant * time} devices, "
+                         f"have {have}")
     devs = np.array(jax.devices()[: ant * time]).reshape(time, ant).T
     return Mesh(devs, (ANT_AXIS, TIME_AXIS))
 

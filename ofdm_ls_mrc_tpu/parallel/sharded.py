@@ -71,10 +71,8 @@ def _sharded_demod_local_fast(pilot: CArray, data: CArray, x_perm: CArray,
     edge gather to reference order happens after the psum.
     """
     yp = fastpath.fft_permuted(drop_cyclic_prefix(pilot, cp))   # [A_l, F] perm
-    denom = 1.0 / x_perm.abs2()
-    hre = (yp.re * x_perm.re + yp.im * x_perm.im) * denom
-    him = (yp.im * x_perm.re - yp.re * x_perm.im) * denom
-    hsq_local = jnp.sum(hre * hre + him * him, axis=0)
+    h, hsq_local = fastpath.ls_permuted(yp, x_perm)
+    hre, him = h.re, h.im
 
     yd = fastpath.fft_permuted(drop_cyclic_prefix(data, cp))    # [S_l, A_l, F]
     num_re_l = jnp.sum(yd.re * hre[None] + yd.im * him[None], axis=1)
@@ -111,15 +109,10 @@ def _sharded_demod_local_fused(pilot: CArray, data: CArray, x_perm: CArray,
         a_l = pilot.shape[0]
         f = pilot.shape[1] * pilot.shape[2]
         pilot = CArray(pilot.re.reshape(a_l, f), pilot.im.reshape(a_l, f))
-    if jnp.issubdtype(pilot.re.dtype, jnp.integer):
-        from ..golden.io import SC16_FULL_SCALE
-        pilot = CArray(pilot.re.astype(jnp.float32) / SC16_FULL_SCALE,
-                       pilot.im.astype(jnp.float32) / SC16_FULL_SCALE)
+    pilot = fastpath.widen_sc16(pilot)
     yp = fastpath.fft_permuted(drop_cyclic_prefix(pilot, cp))   # [A_l, F] perm
-    denom = 1.0 / x_perm.abs2()
-    hre = (yp.re * x_perm.re + yp.im * x_perm.im) * denom
-    him = (yp.im * x_perm.re - yp.re * x_perm.im) * denom
-    hsq_local = jnp.sum(hre * hre + him * him, axis=0)
+    h, hsq_local = fastpath.ls_permuted(yp, x_perm)
+    hre, him = h.re, h.im
 
     if data.re.ndim == 4:         # kernel-native layout flows straight in
         y = data
@@ -210,6 +203,10 @@ class ShardedUplinkReceiver:
         if pipeline not in ("fused", "fast", "composed"):
             raise ValueError(f"unknown pipeline {pipeline!r}: "
                              "expected 'fused', 'fast' or 'composed'")
+        if pilot_x.shape[-1] != cfg.num_subcarriers:
+            raise ValueError(
+                f"pilot has {pilot_x.shape[-1]} bins, config wants "
+                f"{cfg.num_subcarriers}")
         self.cfg = cfg
         self.mesh = mesh
         self.fft_impl = fft_impl or fft_ops.default_impl()
@@ -306,9 +303,20 @@ class ShardedUplinkReceiver:
             if self._demod4 is None:
                 raise ValueError("4-D pre-shaped frames need pipeline='fused' "
                                  "and cyclic_prefix=0")
+            want_whole = self.cfg.frame_len + self._n_time - 1
+            if c.shape[0] not in (self.cfg.frame_len, want_whole):
+                # Fail loud here instead of with an opaque kernel shape
+                # error: the leading dim selects the interpretation (plain
+                # [S, ...] vs pilot-per-block whole_blocks), so anything
+                # else is a malformed frame for this receiver's geometry.
+                raise ValueError(
+                    f"4-D frame leading dim {c.shape[0]} matches neither a "
+                    f"plain frame [{self.cfg.frame_len}, ...] nor the "
+                    f"whole_blocks layout [{want_whole}, ...] for "
+                    f"frame_len={self.cfg.frame_len}, "
+                    f"time_shards={self._n_time}")
             if self._demod_whole is not None and (
-                    self._n_time == 1 or
-                    c.shape[0] == self.cfg.frame_len + self._n_time - 1):
+                    self._n_time == 1 or c.shape[0] == want_whole):
                 # One dispatch instead of two eager pilot/data slices + the
                 # shard_map call: the pilot row slices in-shard.  On time-
                 # sharded meshes this branch takes the pilot-per-block

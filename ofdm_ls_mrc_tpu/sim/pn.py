@@ -34,8 +34,14 @@ def max_len_sequence(length: int = 255) -> np.ndarray:
     if (1 << k) - 1 != length:
         raise ValueError(f"length {length} is not 2**k - 1")
     # Primitive polynomial taps (XOR positions, 1-indexed from MSB register).
-    taps = {3: (3, 2), 4: (4, 3), 5: (5, 3), 6: (6, 5), 7: (7, 6),
-            8: (8, 6, 5, 4), 9: (9, 5), 10: (10, 7)}[k]
+    taps_by_k = {3: (3, 2), 4: (4, 3), 5: (5, 3), 6: (6, 5), 7: (7, 6),
+                 8: (8, 6, 5, 4), 9: (9, 5), 10: (10, 7)}
+    if k not in taps_by_k:
+        raise ValueError(
+            f"length {length} (register size {k}) has no primitive "
+            f"polynomial registered; supported lengths: "
+            f"{sorted((1 << j) - 1 for j in taps_by_k)}")
+    taps = taps_by_k[k]
     state = [1] * k
     out = np.empty(length, dtype=np.float32)
     for i in range(length):

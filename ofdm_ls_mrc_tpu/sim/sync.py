@@ -87,9 +87,15 @@ class StreamSynchronizer:
             out.append(fr)
 
     def flush(self) -> List[np.ndarray]:
-        """End-of-stream: extract whatever aligned frames remain."""
-        return [] if self.pending is None else self.push(
-            np.zeros((self.pending.shape[0], 0), self.pending.dtype))
+        """End-of-stream teardown hook.
+
+        Always returns [] today: push() extracts to exhaustion on every
+        call, and an incomplete tail (PN + partial frame) can never become
+        a whole aligned frame -- matching the reference, which simply stops
+        receiving (rx_and_corr.cpp:408).  Kept as the explicit end-of-stream
+        point so callers have one place to drain if partial-frame emission
+        is ever added."""
+        return []
 
     # -- state machine -------------------------------------------------------
     def _consume(self, n: int) -> None:

@@ -91,9 +91,17 @@ def device_time(per_item: Callable, items, reps_hi: int = 101,
         def prog(its):
             def rep(_, acc):
                 def body(c, x):
-                    shifted = jax.tree_util.tree_map(
-                        lambda l: l + c if jnp.issubdtype(l.dtype, jnp.floating) else l,
-                        x)
+                    # EVERY leaf must depend on the carry or XLA can hoist
+                    # the whole scan out of the rep loop.  Float leaves take
+                    # the tiny carry directly; integer leaves (the sc16
+                    # planar format) add a carry-derived value that rounds
+                    # to 0 -- a true data dependence the compiler cannot
+                    # fold away without knowing c.
+                    def shift(l):
+                        if jnp.issubdtype(l.dtype, jnp.floating):
+                            return l + c
+                        return l + (c * 1e-30).astype(l.dtype)
+                    shifted = jax.tree_util.tree_map(shift, x)
                     out = per_item(shifted)
                     s = sum(jnp.sum(l) for l in jax.tree_util.tree_leaves(out))
                     return c + s * 1e-20, None

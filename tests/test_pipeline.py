@@ -86,8 +86,11 @@ class TestUplinkReceiver:
                                 pipeline="fused")
         assert rx.pipeline == "fast"  # 64-point FFT has no (8, 128) split
         # On complex-dtype backends (fft_impl='xla') everything routes to the
-        # composed ops, and self.pipeline says so honestly.
-        rx2 = UplinkReceiver(small_cfg, pilot, fft_impl="xla", pipeline="fast")
+        # composed ops, self.pipeline says so honestly, and the downgrade is
+        # loud (same rule as StreamingDemodulator, streaming.py).
+        with pytest.warns(RuntimeWarning, match="complex-dtype"):
+            rx2 = UplinkReceiver(small_cfg, pilot, fft_impl="xla",
+                                 pipeline="fast")
         assert rx2.pipeline == "composed"
         with pytest.raises(ValueError, match="unknown pipeline"):
             UplinkReceiver(small_cfg, pilot, pipeline="fastt")

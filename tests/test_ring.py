@@ -655,6 +655,87 @@ class TestDropResync:
             w.close()
 
 
+    def test_feed_misaligned_after_resync_giveup_is_dirty(self):
+        """When every resync pass sees fresh drops (give-up path), the
+        cursor can be left OFF a frame boundary; frames read from there must
+        be delivered DIRTY even if no new drops land during their read --
+        otherwise a burst that outruns the resync then stops would stream
+        permanently misaligned frames flagged clean."""
+        from ofdm_ls_mrc_tpu import FrameConfig
+        from ofdm_ls_mrc_tpu.io.feed import RingFeed
+
+        fl = 3
+        # Frame 0's read trips a drop -> resync; drops land on each of the
+        # 3 resync passes (give-up, cursor misaligned: (consumed+dropped)
+        # % fl == 1); then the drop counter goes quiet.
+        stream = ([(0, 0), (1, 0), (2, 1),           # trip
+                   (3, 2), (4, 2), (5, 3), (6, 3), (7, 4), (8, 4)]  # resyncs
+                  + [(9 + i, 4) for i in range(8)])  # quiet tail
+        scripted = _ScriptedRing(ROWS, COLS, stream)
+        cfg = FrameConfig(num_antennas=ROWS, fft_size=COLS, cyclic_prefix=0,
+                          frame_len=fl)
+        feed = RingFeed(scripted, cfg)
+        it = feed.frames(max_frames=2)
+        first = next(it)
+        assert feed.last_frame_dirty          # misaligned, never clean
+        assert float(np.asarray(first.re)[0, 0, 0]) == 9.0
+        second = next(it)
+        # The flagged frame re-triggers a resync; the boundary discard
+        # realigns and the next frame is clean again.
+        assert not feed.last_frame_dirty
+        assert float(np.asarray(second.re)[0, 0, 0]) == 14.0
+        assert (feed.dirty_frames, feed.resynced_frames) == (1, 2)
+        feed.stop()
+
+    def test_feed_frames_is_one_shot(self):
+        from ofdm_ls_mrc_tpu import FrameConfig
+        from ofdm_ls_mrc_tpu.io.feed import RingFeed
+
+        fl = 2
+        scripted = _ScriptedRing(ROWS, COLS, [(i, 0) for i in range(2 * fl)])
+        cfg = FrameConfig(num_antennas=ROWS, fft_size=COLS, cyclic_prefix=0,
+                          frame_len=fl)
+        feed = RingFeed(scripted, cfg)
+        next(feed.frames(max_frames=1))
+        with pytest.raises(RuntimeError, match="already consumed"):
+            next(feed.frames(max_frames=1))
+        feed.stop()
+
+    def test_int16_feed_rejects_cf32_ring(self):
+        from ofdm_ls_mrc_tpu import FrameConfig
+        from ofdm_ls_mrc_tpu.io.feed import RingFeed
+
+        cfg = FrameConfig(num_antennas=ROWS, fft_size=COLS, cyclic_prefix=0,
+                          frame_len=3)
+        uid = _uid()
+        w = SymbolRing(uid, ROWS, COLS, 6, master=True, timeout=5.0)
+        try:
+            with pytest.raises(ValueError, match="requires an sc16 ring"):
+                RingFeed(w, cfg, int16=True)
+        finally:
+            w.close()
+
+    def test_zero_timeout_means_immediate(self):
+        """timeout=0.0 is an explicit non-blocking poll, not 'use the
+        default' -- a falsy-zero bug here stalls teardown paths 30 s."""
+        import time as _time
+        uid = _uid()
+        w = SymbolRing(uid, ROWS, COLS, 2, master=True, timeout=30.0)
+        r = SymbolRing(uid, ROWS, COLS, 2, master=False, timeout=30.0)
+        try:
+            sym = np.ones((ROWS, COLS), np.complex64)
+            w.write(sym)
+            w.write(sym)                       # ring now full, unread
+            t0 = _time.monotonic()
+            assert w.wait_drained(timeout=0.0) is False
+            with pytest.raises(RingTimeout):
+                w.write(sym, wait=True, timeout=0.0)
+            assert _time.monotonic() - t0 < 5.0
+        finally:
+            r.close()
+            w.close()
+
+
 def _xproc_producer(uid, n, rows, cols, length):
     import numpy as np
     from ofdm_ls_mrc_tpu.io.ring import SymbolRing

@@ -203,6 +203,59 @@ def test_indivisible_shards_rejected(rng, devices):
         ShardedUplinkReceiver(CFG, pilot, mesh)
 
 
+def test_sharded_misconfigurations_fail_loud(rng, devices):
+    """Construction/dispatch errors surface as precise messages, not
+    opaque downstream shape errors (same contract as UplinkReceiver)."""
+    from ofdm_ls_mrc_tpu.parallel.multihost import make_multihost_mesh
+
+    pilot = np.exp(2j * np.pi * rng.random(CFG.num_subcarriers)).astype(np.complex64)
+    # Wrong-length pilot rejected at construction.
+    with pytest.raises(ValueError, match="pilot has"):
+        ShardedUplinkReceiver(CFG, pilot[:-2], make_mesh(2, 1))
+    # Oversubscribed multihost mesh rejected with the device math.
+    with pytest.raises(ValueError, match="needs .* devices"):
+        make_multihost_mesh(ant_shards=len(jax.devices()), time_shards=2)
+    # Malformed 4-D leading dim rejected before the kernel traces.
+    from ofdm_ls_mrc_tpu.ops.cplx import CArray
+    from ofdm_ls_mrc_tpu.ops.pallas_pipeline import fused_frame_shape
+    cfg = FrameConfig(num_antennas=8, fft_size=256, cyclic_prefix=0,
+                      frame_len=9)
+    pilot256 = np.exp(2j * np.pi * rng.random(cfg.num_subcarriers)
+                      ).astype(np.complex64)
+    rx = ShardedUplinkReceiver(cfg, pilot256, make_mesh(2, 2),
+                               pipeline="fused")
+    _, _, n1, n2 = fused_frame_shape(cfg.frame_len, cfg.num_antennas,
+                                     cfg.fft_size)
+    plane = np.zeros((cfg.frame_len + 3, cfg.num_antennas, n1, n2),
+                     np.float32)
+    with pytest.raises(ValueError, match="matches neither"):
+        rx.demod_frame(CArray(plane, plane))
+
+
+def test_multihost_initialize_passes_partial_kwargs(monkeypatch):
+    """initialize() forwards exactly the fields the caller pinned --
+    dropping num_processes/process_id when no coordinator is given would
+    silently auto-configure the wrong topology."""
+    from ofdm_ls_mrc_tpu.parallel import multihost
+
+    seen = {}
+    monkeypatch.setattr(jax.distributed, "initialize",
+                        lambda **kw: seen.update(kw))
+    multihost.initialize(num_processes=4, process_id=2)
+    assert seen == {"num_processes": 4, "process_id": 2}
+    seen.clear()
+    multihost.initialize("h:1", 2, 0)
+    assert seen == {"coordinator_address": "h:1",
+                    "num_processes": 2, "process_id": 0}
+    seen.clear()
+    multihost.initialize()
+    assert seen == {}
+
+
+def test_parallel_exports_antenna_blocks():
+    from ofdm_ls_mrc_tpu.parallel import global_from_antenna_blocks  # noqa: F401
+
+
 class TestShardedDownlink:
     """Subcarrier-sharded ZF precode + row-sharded modulate vs the golden."""
 

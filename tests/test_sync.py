@@ -179,3 +179,12 @@ class TestNativeCorrelator:
         ns = self._skip_if_absent()
         idx, peak = ns.corr_peak(np.zeros(8, np.complex64), PN)
         assert idx == -1 and peak == 0.0
+
+
+def test_max_len_sequence_unsupported_size_is_valueerror():
+    from ofdm_ls_mrc_tpu.sim.pn import max_len_sequence
+    import pytest
+    with pytest.raises(ValueError, match="no primitive polynomial"):
+        max_len_sequence(2047)   # k=11: valid 2**k-1, taps not registered
+    with pytest.raises(ValueError, match="not 2"):
+        max_len_sequence(100)
