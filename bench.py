@@ -161,10 +161,7 @@ def bench_tpu(cfg, pilot, frames: np.ndarray, reps: int,
         # sc16-native input: planar int16 planes (half the H2D and input HBM
         # bytes; the kernel widens in VMEM, full-scale factor on the twiddle
         # constants).  Fused pipeline only.
-        from ofdm_ls_mrc_tpu.golden.io import SC16_FULL_SCALE
-        to16 = lambda v: np.clip(np.round(np.asarray(v) * SC16_FULL_SCALE),
-                                 -SC16_FULL_SCALE,
-                                 SC16_FULL_SCALE).astype(np.int16)
+        from ofdm_ls_mrc_tpu.golden.io import plane_to_sc16 as to16
         cf = CArray(to16(cf.re), to16(cf.im))
     cf = CArray(jax.device_put(cf.re), jax.device_put(cf.im))
     demod_xp_kw = lambda x, xp: demod_xp(x, x_full_perm=xp)
@@ -227,10 +224,7 @@ def sharded_setup(cfg, pilot, frames: np.ndarray, mesh_shape,
         if not (rx.pipeline == "fused" and cfg.cyclic_prefix == 0):
             raise SystemExit("--mesh with --input sc16 needs the fused "
                              "shard body and cp=0")
-        from ofdm_ls_mrc_tpu.golden.io import SC16_FULL_SCALE
-        to16 = lambda v: np.clip(np.round(np.asarray(v) * SC16_FULL_SCALE),
-                                 -SC16_FULL_SCALE,
-                                 SC16_FULL_SCALE).astype(np.int16)
+        from ofdm_ls_mrc_tpu.golden.io import plane_to_sc16 as to16
         c = CArray(to16(c.re), to16(c.im))
     if entry == "whole":
         if rx._demod_whole is None:
@@ -412,6 +406,13 @@ def main():
                          "(harder workload, counts CP samples in the metric)")
     args = ap.parse_args()
 
+    if args.fuse_estimate and (args.mesh or args.pipeline != "fused"):
+        # Fail loud: neither bench_sharded nor the non-fused paths have a
+        # fuse_estimate program -- silently ignoring the flag would record
+        # a mode claiming a variant that never ran.
+        raise SystemExit("--fuse-estimate is a fused single-chip mode "
+                         "(not --mesh / --pipeline fast)")
+
     if not wait_for_device():
         # Touching jax now would hang on the wedged claim; exiting with no
         # JSON line is the unambiguous failure the caller can act on.
@@ -462,6 +463,8 @@ def main():
             parts.append("fuseest")
         if args.cp_where != "host":
             parts.append(f"cp{args.cp_where}")
+        if args.cp != 72:
+            parts.append(f"cp{args.cp}")
         return "-".join(parts)
 
     def record(rec, mode, input_dtype):
@@ -475,7 +478,7 @@ def main():
                          "symbols": args.symbols, "mesh": args.mesh,
                          "sharded_entry": args.sharded_entry,
                          "fuse_estimate": args.fuse_estimate,
-                         "cp_where": args.cp_where}
+                         "cp_where": args.cp_where, "cp": args.cp}
         print(json.dumps(rec))
         if args.record:
             import os

@@ -170,6 +170,16 @@ def main(argv=None) -> int:
             print(f"--mesh {args.mesh!r}: expected ANTxTIME, e.g. 1x1 or 4x2",
                   file=sys.stderr)
             return 2
+        # Divisibility up front: failing inside shard_map during warm-up
+        # (producer already writing) prints an opaque XLA shape error.
+        if args.antennas % n_ant:
+            print(f"--mesh {args.mesh}: {args.antennas} antennas not "
+                  f"divisible by {n_ant} ant shards", file=sys.stderr)
+            return 2
+        if (args.frame_len - 1) % n_time:
+            print(f"--mesh {args.mesh}: {args.frame_len - 1} data symbols "
+                  f"not divisible by {n_time} time shards", file=sys.stderr)
+            return 2
 
     if args.sc16_native:
         if args.ring_dtype != "sc16":
@@ -297,11 +307,20 @@ def main(argv=None) -> int:
     if args.batch_frames > 1:
         # Warm the capture scan at the exact batched shape so the first live
         # batch doesn't stall the ring on a compile.
+        import jax.numpy as jnp
+
         from ..ops.cplx import CArray
-        shape = (args.batch_frames,) + (device_shape or
-                                        (cfg.frame_len, cfg.num_antennas,
-                                         cfg.fft_size))
-        z = CArray(np.zeros(shape, feed_dtype), np.zeros(shape, feed_dtype))
+        shape = device_shape or (cfg.frame_len, cfg.num_antennas,
+                                 cfg.fft_size)
+        zr, zi = np.zeros(shape, feed_dtype), np.zeros(shape, feed_dtype)
+        # Mirror flush_batch EXACTLY: per-frame put_fn placement, then the
+        # same jnp.stack -- warming a plain host batch under --mesh would
+        # specialize the scan on a different input sharding and the first
+        # live batch would recompile mid-stream.
+        zf = [put_fn(zr, zi) if put_fn is not None else CArray(zr, zi)
+              for _ in range(args.batch_frames)]
+        z = CArray(jnp.stack([f.re for f in zf]),
+                   jnp.stack([f.im for f in zf]))
         jax.block_until_ready(rx.demod_capture(z).re)
 
     n = 0

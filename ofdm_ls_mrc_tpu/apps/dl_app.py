@@ -95,11 +95,14 @@ def main(argv=None) -> int:
     s_data = cfg.num_data_symbols
     streams = []
     sent = []
+    last_precoded = []     # last frame's [A, F-1] streams, reused by --verify
     for _ in range(args.num_frames):
         data, _ = random_symbols(rng, (u, s_data, f - 1), args.modulation)
         sent.append(data)
+        last_precoded = []
         for s in range(s_data):
             ant = tx.precode(h, data[:, s, :])          # [A, F-1]
+            last_precoded.append(ant.to_numpy())
             td = tx.modulate(ant)                       # [A, F+cp]
             streams.append(td.to_numpy())
     out = np.concatenate(streams, axis=1)               # [A, N]
@@ -116,7 +119,7 @@ def main(argv=None) -> int:
         data = sent[-1]
         worst = -np.inf
         for s in range(s_data):
-            ant = tx.precode(h, data[:, s, :]).to_numpy()    # [A, F-1]
+            ant = last_precoded[s]                           # [A, F-1] cached
             y = np.einsum("kua,ak->uk", h, ant)              # [U, F-1]
             x = data[:, s, :]
             evm = 10 * np.log10(np.mean(np.abs(y - x) ** 2)

@@ -134,6 +134,12 @@ def main(argv=None) -> int:
     if args.file is None:
         print("no --file given: nothing to play", file=sys.stderr)
         return 2
+    if args.continuous_sync and (args.dump_aligned or args.dump_raw):
+        # Fail loud before any IO: the rolling loop consumes buffers as it
+        # goes and keeps no whole aligned capture to dump.
+        print("--dump-aligned/--dump-raw are one-shot-sync features "
+              "(not --continuous-sync)", file=sys.stderr)
+        return 2
 
     samples = load_capture(args.file, args.antennas, args.file_format)  # [A, N]
     # Per-channel configuration: the reference loops the channel list
@@ -190,6 +196,20 @@ def main(argv=None) -> int:
 
     wrote = 0
     frames_sent = 0
+
+    def write_dumps():
+        # Runs on EVERY exit path (finally below): continuous mode only
+        # leaves the loop via SIGINT/RingShutdown, and the reference dumps
+        # its captures after the stream stops (rx_and_corr.cpp:411-427).
+        if args.dump_aligned:
+            dump_frames = min(frames_sent, avail_frames)  # continuous cycles
+            for i, ch in enumerate(chan_ids):     # per-channel dumps, named
+                out = f"{args.file_prefix}_ch_{ch}_binary"   # by channel id
+                samples[i, start:start + dump_frames * frame_samps].tofile(out)
+        if args.dump_raw:
+            for i, ch in enumerate(chan_ids):
+                samples[i].tofile(f"{args.file_prefix}_raw_ch_{ch}_binary")
+
     try:
         f = 0
         while continuous or f < args.num_frames:
@@ -205,14 +225,6 @@ def main(argv=None) -> int:
                                       timeout=args.timeout)
             frames_sent += 1
             f += 1
-        if args.dump_aligned:
-            dump_frames = min(frames_sent, avail_frames)  # continuous mode cycles
-            for i, ch in enumerate(chan_ids):     # per-channel dumps, named by
-                out = f"{args.file_prefix}_ch_{ch}_binary"   # channel id
-                samples[i, start:start + dump_frames * frame_samps].tofile(out)
-        if args.dump_raw:
-            for i, ch in enumerate(chan_ids):
-                samples[i].tofile(f"{args.file_prefix}_raw_ch_{ch}_binary")
         print(f"wrote {wrote} symbols ({frames_sent} frame(s)), "
               f"dropped={ring.dropped}")
     except KeyboardInterrupt:
@@ -221,6 +233,7 @@ def main(argv=None) -> int:
     except RingShutdown:
         print(f"reader shut the ring down after {frames_sent} frame(s)")
     finally:
+        write_dumps()
         # Teardown handshake: wait for the slave to drain before unlinking
         # the segment (the reference's destructor sentinel dance,
         # ShMemSymBuff.hpp:221-230, minus the infinite spin).

@@ -128,18 +128,31 @@ def main(argv=None) -> int:
     f = args.fft_size
     pilot = load_pilot(args.pilots, f - 1)
 
+    in_data = None
+    if args.in_file:
+        # Read ONCE; frame k takes the k-th frame's worth of samples,
+        # cycling when the file holds fewer than --num-frames frames (the
+        # reference also loops its IQ file, tx_same_seq_no_udp.cpp:269-298).
+        in_data = np.fromfile(args.in_file, dtype=np.complex64)
+        need = (args.frame_len - 1) * (f - 1)
+        if in_data.size < need:
+            raise SystemExit(
+                f"{args.in_file}: {in_data.size} samples < one frame's "
+                f"{need} ((frame_len-1) x (fft_size-1)); short frames "
+                "would misalign the stream")
+        in_frames = in_data.size // need
+        if in_frames < args.num_frames:
+            tail = " (trailing partial frame ignored)" if in_data.size % need else ""
+            print(f"note: {args.in_file} holds {in_frames} whole frame(s); "
+                  f"cycling them for --num-frames {args.num_frames}{tail}",
+                  file=sys.stderr)
+        in_data = in_data[: in_frames * need].reshape(in_frames, -1, f - 1)
+
     frames = []
     sent = []
-    for _ in range(args.num_frames):
-        if args.in_file:
-            data = np.fromfile(args.in_file, dtype=np.complex64)
-            need = (args.frame_len - 1) * (f - 1)
-            if data.size < need:
-                raise SystemExit(
-                    f"{args.in_file}: {data.size} samples < one frame's "
-                    f"{need} ((frame_len-1) x (fft_size-1)); short frames "
-                    "would misalign the stream")
-            data = data[:need].reshape(-1, f - 1)
+    for k in range(args.num_frames):
+        if in_data is not None:
+            data = in_data[k % in_data.shape[0]]
         else:
             data, _ = random_symbols(rng, (args.frame_len - 1, f - 1),
                                      args.modulation)

@@ -151,6 +151,17 @@ def complex_to_sc16(c: np.ndarray) -> np.ndarray:
     return iq.astype(np.int16)
 
 
+def plane_to_sc16(v: np.ndarray) -> np.ndarray:
+    """One planar float component (re OR im) -> full-scale int16.
+
+    The quantization used by the bench/probe tools to build sc16-native
+    kernel inputs; kept HERE beside complex_to_sc16 so the rounding/clip
+    semantics cannot drift from the live ingest path (no clip counters:
+    tool inputs are generated in-range by construction)."""
+    return np.clip(np.round(np.asarray(v) * SC16_FULL_SCALE),
+                   -SC16_FULL_SCALE, SC16_FULL_SCALE).astype(np.int16)
+
+
 def sc16_to_complex(iq: np.ndarray) -> np.ndarray:
     """Interleaved int16 IQ -> complex64 (full scale -> 1.0).
 

@@ -189,6 +189,83 @@ def test_tx_app_requires_out():
     assert r.returncode == 2
 
 
+def test_tx_app_in_file_uses_each_frames_data(workdir):
+    """--in-file with multiple frames transmits frame k's data on frame k
+    (not frame 0 repeated) and cycles when the file is short."""
+    need = (S - 1) * (F - 1)
+    rng = np.random.default_rng(5)
+    payload = (rng.standard_normal(2 * need)
+               + 1j * rng.standard_normal(2 * need)).astype(np.complex64)
+    infile = str(workdir / "user_data.dat")
+    payload.tofile(infile)
+    sent = str(workdir / "sent.dat")
+    r = run(["ofdm_ls_mrc_tpu.apps.tx_app", "--out", str(workdir / "cap.dat"),
+             "--in-file", infile, "--data-out", sent, "--num-frames", "3",
+             "--antennas", str(A), "--fft-size", str(F), "--cp-size", str(CP),
+             "--frame-len", str(S),
+             "--pilots", str(workdir / "none.dat")])
+    assert r.returncode == 0, r.stderr
+    assert "cycling" in r.stderr          # 3 frames from a 2-frame file
+    got = np.fromfile(sent, dtype=np.complex64)
+    want = np.concatenate([payload, payload[:need]])   # frames 0, 1, 0
+    np.testing.assert_array_equal(got, want)
+
+
+def test_demod_app_mesh_divisibility_rejected(workdir):
+    r = run(["ofdm_ls_mrc_tpu.apps.demod_app", "--mesh", "3x1",
+             "--antennas", "16", "--fft-size", str(F), "--cp-size", "0",
+             "--frame-len", str(S), "--shm-uid", "/nope",
+             "--pilots", str(workdir / "none.dat")])
+    assert r.returncode == 2 and "not divisible" in r.stderr
+
+
+def test_rx_app_dumps_written_after_sigint_in_continuous_mode(workdir):
+    """--dump-aligned/--dump-raw fire on EVERY exit path: continuous mode
+    only leaves its loop via SIGINT/shutdown, and the reference dumps its
+    captures after the stream stops (rx_and_corr.cpp:411-427)."""
+    import signal as _signal
+    import time as _time
+    cap = str(workdir / "capture.dat")
+    common = ["--antennas", str(A), "--fft-size", str(F),
+              "--cp-size", str(CP), "--frame-len", str(S)]
+    r = run(["ofdm_ls_mrc_tpu.apps.tx_app", "--out", cap, "--pn-preamble",
+             "--snr", "35", "--channel-taps", "4",
+             "--pilots", str(workdir / "none.dat"),
+             "--pn-file", str(workdir / "none.dat")] + common
+            + ["--num-frames", "1"])
+    assert r.returncode == 0, r.stderr
+    uid = f"/ofdm_app_{uuid.uuid4().hex[:8]}"
+    rx = subprocess.Popen(
+        [sys.executable, "-m", "ofdm_ls_mrc_tpu.apps.rx_app", "--file", cap,
+         "--shm-uid", uid, "--thres", "0.05",
+         "--num-frames", "0", "--rate", "1e6", "--dump-aligned", "--dump-raw",
+         "--file-prefix", str(workdir / "cdump"),
+         "--pn-file", str(workdir / "none.dat")] + common,
+        cwd=REPO, env=ENV_BASE, stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+        text=True)
+    # SIGINT only once streaming started (ring created): interrupting the
+    # imports would be an unhandled KeyboardInterrupt, not the loop's.
+    deadline = _time.monotonic() + 120
+    while not os.path.exists("/dev/shm" + uid):
+        assert rx.poll() is None and _time.monotonic() < deadline
+        _time.sleep(0.1)
+    _time.sleep(1.0)
+    rx.send_signal(_signal.SIGINT)
+    rx_out, rx_err = rx.communicate(timeout=120)
+    assert rx.returncode == 0, rx_err + rx_out
+    assert os.path.exists(str(workdir / "cdump_ch_0_binary")), rx_out
+    assert os.path.exists(str(workdir / "cdump_raw_ch_0_binary"))
+
+
+def test_rx_app_continuous_sync_rejects_dumps(workdir):
+    r = run(["ofdm_ls_mrc_tpu.apps.rx_app", "--file", str(workdir / "x.dat"),
+             "--continuous-sync", "--dump-raw",
+             "--antennas", str(A), "--fft-size", str(F), "--cp-size", str(CP),
+             "--frame-len", str(S), "--shm-uid", "/nope",
+             "--pn-file", str(workdir / "none.dat")])
+    assert r.returncode == 2 and "one-shot-sync" in r.stderr
+
+
 def test_provenance_flags_rejected_outside_whole_frame_modes(workdir):
     """--drop-dirty/--frame-index live in the whole-frame RingFeed; the
     per-symbol and distributed paths must fail loud instead of silently

@@ -280,7 +280,8 @@ def test_gate_mode_book_and_cli(tmp_path):
     assert cli == ["--input", "sc16", "--pipeline", "fused",
                    "--kernel-precision", "exact", "--antennas", "16",
                    "--fft", "1024", "--symbols", "101",
-                   "--sharded-entry", "split", "--cp-where", "host"]
+                   "--sharded-entry", "split", "--cp-where", "host",
+                   "--cp", "72"]
     mesh_cli = gate._mode_cli({**entry["config"], "mesh": "1x1",
                                "sharded_entry": "whole",
                                "fuse_estimate": True,

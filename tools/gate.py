@@ -81,6 +81,7 @@ def _mode_cli(cfg: dict):
     if cfg.get("fuse_estimate"):
         out += ["--fuse-estimate"]
     out += ["--cp-where", cfg.get("cp_where", "host")]
+    out += ["--cp", str(cfg.get("cp", 72))]
     return out
 
 

@@ -65,10 +65,7 @@ def main():
     frames = frames.reshape((k,) + fused_frame_shape(s, a, f))
     cf = CArray.from_numpy(frames)
     if args.input == "i16":
-        from ofdm_ls_mrc_tpu.golden.io import SC16_FULL_SCALE
-        to16 = lambda v: np.clip(np.round(np.asarray(v) * SC16_FULL_SCALE),
-                                 -SC16_FULL_SCALE,
-                                 SC16_FULL_SCALE).astype(np.int16)
+        from ofdm_ls_mrc_tpu.golden.io import plane_to_sc16 as to16
         cf = CArray(to16(cf.re), to16(cf.im))
     cf = CArray(jax.device_put(cf.re), jax.device_put(cf.im))
 

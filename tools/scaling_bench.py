@@ -73,7 +73,14 @@ def main():
 
     sys.path.insert(0, os.path.abspath(os.path.join(os.path.dirname(__file__),
                                                     "..")))
-    from bench import bench_sharded, psum_payload_bytes
+    from bench import bench_sharded, psum_payload_bytes, wait_for_device
+
+    if not args.virtual and not wait_for_device():
+        # Same stale-chip-claim guard as bench/latency_probe/kernel_probe:
+        # touching jax.devices() in-process on a wedged axon claim hangs
+        # indistinguishably from progress.
+        raise SystemExit("TPU never became available "
+                         "(stale chip claim or tunnel down)")
 
     from ofdm_ls_mrc_tpu import FrameConfig
     from ofdm_ls_mrc_tpu.ops import fft as fft_ops

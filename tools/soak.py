@@ -264,6 +264,8 @@ def main(argv=None) -> int:
 
     evm_clean, evm_dirty = [], []
     for p in statuses:
+        if len(p) < 4:
+            continue   # truncated final line (consumer killed mid-write)
         seq, status, lo, hi = p[:4]
         wseq = int(p[4]) if len(p) > 4 else -1
         lo, hi = int(lo), int(hi)
