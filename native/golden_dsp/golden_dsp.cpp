@@ -154,8 +154,13 @@ void ofdm_demod_symbol(const float* sym_td, const float* hconj,
 //   frame:   [s][a][f+cp] interleaved complex
 //   pilot_x: [f-1]
 //   out:     [s-1][f-1]
-void ofdm_demod_frame(const float* frame, const float* pilot_x,
-                      int s, int a, int f, int cp, float* out) {
+int ofdm_demod_frame(const float* frame, const float* pilot_x,
+                     int s, int a, int f, int cp, float* out) {
+  // Guard before sizing vectors: f <= 1 (cp swallowing the symbol) would
+  // wrap the size_t allocation into a bad_alloc that aborts the Python
+  // process across the extern "C"/ctypes boundary.
+  if (!frame || !pilot_x || !out || s < 2 || a < 1 || f < 2 || cp < 0)
+    return -1;
   const int sym = f + cp;
   std::vector<float> td(static_cast<size_t>(a) * f * 2);
   auto load = [&](int si) {
@@ -173,13 +178,16 @@ void ofdm_demod_frame(const float* frame, const float* pilot_x,
     ofdm_demod_symbol(td.data(), hconj.data(), hsqrd.data(), a, f,
                       out + static_cast<size_t>(si - 1) * (f - 1) * 2);
   }
+  return 0;
 }
 
 // OFDM modulator (modOneSymbol math): F-1 bins at grid offset 1, ifftshift,
 // unnormalized IFFT, 1/max|.| scale, CP prepend.
 //   data: [f-1] interleaved complex
 //   out:  [f+cp]
-void ofdm_modulate(const float* data, int f, int cp, float* out) {
+int ofdm_modulate(const float* data, int f, int cp, float* out) {
+  // cp > f would read the cyclic prefix from before the grid allocation.
+  if (!data || !out || f < 2 || cp < 0 || cp > f) return -1;
   std::vector<cf> grid(f, cf(0, 0));
   std::copy(as_cf(data), as_cf(data) + (f - 1), grid.data() + 1);
   // tx_shift on the even grid (ifftShiftOneRow, cpuLS.hpp:119-132)
@@ -192,6 +200,7 @@ void ofdm_modulate(const float* data, int f, int cp, float* out) {
   cf* o = as_cf(out);
   for (int i = 0; i < cp; ++i) o[i] = grid[f - cp + i];
   std::memcpy(o + cp, grid.data(), sizeof(cf) * f);
+  return 0;
 }
 
 // Multi-user zero-forcing precoder (createZeroForcingMatrix,

@@ -16,6 +16,25 @@
 #include <cmath>
 #include <cstdint>
 
+namespace {
+
+// The one definition of the lag-i correlation magnitude |corr[i]| / p:
+// first-hit, argmax, and profile variants below must stay in arithmetic
+// lockstep with each other and with the sim/pn NumPy oracle.
+inline float corr_mag(const float* buf, long i, const float* pn, long p) {
+    float ar = 0.0f, ai = 0.0f;
+    const float* b = buf + 2 * i;
+    for (long j = 0; j < p; ++j) {
+        const float pr = pn[2 * j], pi = pn[2 * j + 1];
+        const float br = b[2 * j], bi = b[2 * j + 1];
+        ar += pr * br - pi * bi;
+        ai += pr * bi + pi * br;
+    }
+    return std::sqrt(ar * ar + ai * ai) / (float)p;
+}
+
+}  // namespace
+
 extern "C" {
 
 // First offset i in [0, n-p] with |sum_j pn[j]*buf[i+j]| / p >= thres
@@ -26,15 +45,7 @@ long pn_corr_first(const float* buf, long n, const float* pn, long p,
     const long last = n - p;
     float best = 0.0f;
     for (long i = 0; i <= last; ++i) {
-        float ar = 0.0f, ai = 0.0f;
-        const float* b = buf + 2 * i;
-        for (long j = 0; j < p; ++j) {
-            const float pr = pn[2 * j], pi = pn[2 * j + 1];
-            const float br = b[2 * j], bi = b[2 * j + 1];
-            ar += pr * br - pi * bi;
-            ai += pr * bi + pi * br;
-        }
-        const float mag = std::sqrt(ar * ar + ai * ai) / (float)p;
+        const float mag = corr_mag(buf, i, pn, p);
         if (mag > best) best = mag;
         if (mag >= thres) {
             if (peak_out) *peak_out = mag;
@@ -58,15 +69,7 @@ long pn_corr_peak(const float* buf, long n, const float* pn, long p,
     float best = -1.0f;
     long arg = 0;
     for (long i = 0; i <= last; ++i) {
-        float ar = 0.0f, ai = 0.0f;
-        const float* b = buf + 2 * i;
-        for (long j = 0; j < p; ++j) {
-            const float pr = pn[2 * j], pi = pn[2 * j + 1];
-            const float br = b[2 * j], bi = b[2 * j + 1];
-            ar += pr * br - pi * bi;
-            ai += pr * bi + pi * br;
-        }
-        const float mag = std::sqrt(ar * ar + ai * ai) / (float)p;
+        const float mag = corr_mag(buf, i, pn, p);
         if (mag > best) { best = mag; arg = i; }
     }
     if (peak_out) *peak_out = best;
@@ -75,21 +78,12 @@ long pn_corr_peak(const float* buf, long n, const float* pn, long p,
 
 // Full magnitude profile |corr[i]|/p into out[0 .. n-p] (debug/plotting
 // parity with the reference's dumped correlator traces).  Returns the
-// number of lags written.
+// number of lags written (0 when the buffer is shorter than the sequence).
 long pn_corr_mags(const float* buf, long n, const float* pn, long p,
                   float* out) {
     const long last = n - p;
-    for (long i = 0; i <= last; ++i) {
-        float ar = 0.0f, ai = 0.0f;
-        const float* b = buf + 2 * i;
-        for (long j = 0; j < p; ++j) {
-            const float pr = pn[2 * j], pi = pn[2 * j + 1];
-            const float br = b[2 * j], bi = b[2 * j + 1];
-            ar += pr * br - pi * bi;
-            ai += pr * bi + pi * br;
-        }
-        out[i] = std::sqrt(ar * ar + ai * ai) / (float)p;
-    }
+    if (last < 0) return 0;
+    for (long i = 0; i <= last; ++i) out[i] = corr_mag(buf, i, pn, p);
     return last + 1;
 }
 

@@ -28,6 +28,7 @@
 // Build: g++ -O2 -shared -fPIC -std=c++17 shm_ring.cpp -o libshm_ring.so -lrt -pthread
 
 #include <atomic>
+#include <cerrno>
 #include <chrono>
 #include <cstdint>
 #include <cstring>
@@ -145,7 +146,17 @@ void* ring_open_fmt(const char* uid, int rows, int cols, int len, int master,
   // until the master has created it -- and validates against the header.
   int fd = -1;
   if (master) {
-    fd = shm_open(uid, O_CREAT | O_RDWR, S_IRUSR | S_IWUSR);
+    // Fresh inode ALWAYS: a segment left by a crashed producer still holds
+    // a published header (size > 0), so re-initializing it in place would
+    // let a concurrently-attaching slave pass the size>0 acquire gate on
+    // the STALE value and race the non-atomic geometry rewrite.  Unlinking
+    // first gives this master a brand-new zero-filled segment; any slave
+    // still mapped to the old inode times out cleanly.
+    fd = shm_open(uid, O_CREAT | O_EXCL | O_RDWR, S_IRUSR | S_IWUSR);
+    if (fd < 0 && errno == EEXIST) {
+      shm_unlink(uid);
+      fd = shm_open(uid, O_CREAT | O_EXCL | O_RDWR, S_IRUSR | S_IWUSR);
+    }
     if (fd < 0) return nullptr;
     if (ftruncate(fd, static_cast<off_t>(bytes)) != 0) {
       close(fd);
@@ -222,15 +233,16 @@ void* ring_open(const char* uid, int rows, int cols, int len, int master,
   return ring_open_fmt(uid, rows, cols, len, master, timeout_s, FMT_CF32);
 }
 
-// Shutdown handshake + unmap.  Slave sets size=-1 (telling the master to
-// tear down, ShMemSymBuff.hpp:221-230); master unlinks the segment.
+// Shutdown handshake + unmap.  EITHER side raises the size=-1 sentinel so a
+// peer blocked in a spin loop observes the exit immediately (RingShutdown)
+// instead of burning its full timeout (the reference's destructor dance,
+// ShMemSymBuff.hpp:221-230); the master additionally unlinks the segment.
 void ring_close(void* ring) {
   Ring* r = static_cast<Ring*>(ring);
   if (!r) return;
+  r->hdr->size.store(-1, std::memory_order_release);
   if (r->master) {
     shm_unlink(r->uid.c_str());
-  } else {
-    r->hdr->size.store(-1, std::memory_order_release);
   }
   munmap(r->hdr, r->map_bytes);
   delete r;
@@ -242,10 +254,19 @@ void ring_shutdown(void* ring) {
   if (r) r->hdr->size.store(-1, std::memory_order_release);
 }
 
-int ring_rows(void* ring) { return static_cast<Ring*>(ring)->hdr->rows; }
-int ring_cols(void* ring) { return static_cast<Ring*>(ring)->hdr->cols; }
-int ring_len(void* ring) { return static_cast<Ring*>(ring)->hdr->len; }
+// Accessors guard the handle like every other entry point: a NULL from a
+// closed Python-side ring must surface as a 0/-error, not a segfault.
+int ring_rows(void* ring) {
+  return ring ? static_cast<Ring*>(ring)->hdr->rows : RING_BADARG;
+}
+int ring_cols(void* ring) {
+  return ring ? static_cast<Ring*>(ring)->hdr->cols : RING_BADARG;
+}
+int ring_len(void* ring) {
+  return ring ? static_cast<Ring*>(ring)->hdr->len : RING_BADARG;
+}
 int ring_dropped(void* ring) {
+  if (!ring) return 0;
   return static_cast<Ring*>(ring)->hdr->dropped.load(std::memory_order_relaxed);
 }
 // Total symbols consumed from this ring so far (monotonic tail) -- by ANY
@@ -253,15 +274,18 @@ int ring_dropped(void* ring) {
 // late-attaching reader on the writer's attempt cursor:
 // consumed + dropped = attempt index of the next buffered symbol.
 int64_t ring_consumed(void* ring) {
+  if (!ring) return 0;
   return static_cast<Ring*>(ring)->hdr->tail.load(std::memory_order_acquire);
 }
 // Symbols currently buffered and unread.
 int ring_available(void* ring) {
+  if (!ring) return 0;
   RingHeader* h = static_cast<Ring*>(ring)->hdr;
   return static_cast<int>(h->head.load(std::memory_order_acquire) -
                           h->tail.load(std::memory_order_acquire));
 }
 double ring_spin_seconds(void* ring) {
+  if (!ring) return 0.0;
   return static_cast<Ring*>(ring)->spin_ns * 1e-9;
 }
 
@@ -358,6 +382,8 @@ namespace {
 // the same pass, so the int16 path costs no extra sweep.
 constexpr float kSc16Scale = 1.0f / 32767.0f;
 
+void copy_out_split(Ring* r, int64_t seq, float* re, float* im, int cp);
+
 void copy_out(Ring* r, int64_t seq, float* out, int cp, int planar) {
   RingHeader* h = r->hdr;
   const int rows = h->rows, cols = h->cols;
@@ -385,25 +411,9 @@ void copy_out(Ring* r, int64_t seq, float* out, int cp, int planar) {
       }
     }
   } else {
-    float* re = out;
-    float* im = out + static_cast<size_t>(rows) * keep;
-    for (int i = 0; i < rows; ++i) {
-      float* rre = re + static_cast<size_t>(i) * keep;
-      float* rim = im + static_cast<size_t>(i) * keep;
-      if (!sc16) {
-        const float* row = row_src_f32(i);
-        for (int j = 0; j < keep; ++j) {
-          rre[j] = row[2 * j];
-          rim[j] = row[2 * j + 1];
-        }
-      } else {
-        const int16_t* row = row_src_s16(i);
-        for (int j = 0; j < keep; ++j) {
-          rre[j] = row[2 * j] * kSc16Scale;
-          rim[j] = row[2 * j + 1] * kSc16Scale;
-        }
-      }
-    }
+    // One definition of the planar deinterleave: the split-destination
+    // copy with the im plane placed right after the re plane.
+    copy_out_split(r, seq, out, out + static_cast<size_t>(rows) * keep, cp);
   }
 }
 
@@ -477,6 +487,13 @@ int ring_read_next(void* ring, float* out, int cp, int planar, double timeout_s)
 // re/im [n][rows][cols-cp], spin-waiting per symbol natively -- one library
 // call per frame instead of per symbol (the whole-frame analogue of the
 // reference's per-symbol readNextSymbol loop, cpuLS_main.cpp:83-92).
+//
+// Returns RING_OK on a full frame.  A TIMEOUT that interrupts a partially
+// read frame returns the count already consumed (0 < k < n): the tail has
+// irreversibly advanced k symbols INTO a frame, so a caller that would
+// retry must know the stream is no longer frame-aligned (write_batch's
+// partial-prefix note, mirrored).  Shutdown always returns RING_SHUTDOWN
+// (the stream is over; the partial frame is moot).
 int ring_read_frame(void* ring, float* re, float* im, int n, int cp,
                     double timeout_s) {
   Ring* r = static_cast<Ring*>(ring);
@@ -490,6 +507,7 @@ int ring_read_frame(void* ring, float* re, float* im, int n, int cp,
     int rc = spin_until(r, [&] {
       return h->head.load(std::memory_order_acquire) > tail;
     }, timeout_s);
+    if (rc == RING_TIMEOUT && k > 0) return k;
     if (rc != RING_OK) return rc;
     copy_out_split(r, tail, re + plane * k, im + plane * k, cp);
     h->tail.store(tail + 1, std::memory_order_release);
@@ -517,6 +535,7 @@ int ring_read_frame_i16(void* ring, int16_t* re, int16_t* im, int n, int cp,
     int rc = spin_until(r, [&] {
       return h->head.load(std::memory_order_acquire) > tail;
     }, timeout_s);
+    if (rc == RING_TIMEOUT && k > 0) return k;  // mid-frame: see ring_read_frame
     if (rc != RING_OK) return rc;
     const char* base = slot_ptr(r, tail);
     for (int i = 0; i < rows; ++i) {

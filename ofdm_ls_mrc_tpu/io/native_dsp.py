@@ -35,7 +35,9 @@ def _load() -> ctypes.CDLL:
                                           ctypes.c_int, _F32P]
         lib.ofdm_demod_frame.argtypes = [_F32P, _F32P, ctypes.c_int, ctypes.c_int,
                                          ctypes.c_int, ctypes.c_int, _F32P]
+        lib.ofdm_demod_frame.restype = ctypes.c_int
         lib.ofdm_modulate.argtypes = [_F32P, ctypes.c_int, ctypes.c_int, _F32P]
+        lib.ofdm_modulate.restype = ctypes.c_int
         lib.ofdm_zf_precoder.argtypes = [_F32P, ctypes.c_int, ctypes.c_int,
                                          ctypes.c_int, _F32P]
         lib.ofdm_apply_precoder.argtypes = [_F32P, _F32P, ctypes.c_int,
@@ -97,8 +99,9 @@ def demod_frame(frame: np.ndarray, pilot_x: np.ndarray, cp: int = 0) -> np.ndarr
     s, a, sym = fr.shape
     f = sym - cp
     out = np.empty((s - 1, f - 1), np.complex64)
-    lib.ofdm_demod_frame(_fp(fr.view(np.float32)), _fp(x.view(np.float32)),
-                         s, a, f, cp, _fp(out.view(np.float32)))
+    if lib.ofdm_demod_frame(_fp(fr.view(np.float32)), _fp(x.view(np.float32)),
+                            s, a, f, cp, _fp(out.view(np.float32))) != 0:
+        raise ValueError(f"invalid geometry: s={s} a={a} f={f} cp={cp}")
     return out
 
 
@@ -108,7 +111,9 @@ def modulate_symbol(data: np.ndarray, cp: int = 0) -> np.ndarray:
     d = _c64(data)
     f = d.shape[-1] + 1
     out = np.empty(f + cp, np.complex64)
-    lib.ofdm_modulate(_fp(d.view(np.float32)), f, cp, _fp(out.view(np.float32)))
+    if lib.ofdm_modulate(_fp(d.view(np.float32)), f, cp,
+                         _fp(out.view(np.float32))) != 0:
+        raise ValueError(f"invalid geometry: f={f} cp={cp} (need cp <= f)")
     return out
 
 

@@ -300,6 +300,14 @@ class SymbolRing:
             self._handle, out_re.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
             out_im.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
             n, cp, (self._timeout if timeout is None else timeout))
+        if 0 < rc < n:
+            # Timeout mid-frame: the cursor advanced rc symbols INTO a frame
+            # (those symbols are consumed and gone), so a retry would read
+            # misaligned frames.  Raise a timeout the caller can see carries
+            # a partial consumption.
+            raise RingTimeout(
+                f"ring_read_frame timed out mid-frame after {rc}/{n} "
+                f"symbols (stream no longer frame-aligned)")
         _check(rc, "ring_read_frame")
         return out_re, out_im
 
@@ -329,6 +337,10 @@ class SymbolRing:
         rc = self._lib.ring_read_frame_i16(
             self._handle, out_re.ctypes.data_as(p16),
             out_im.ctypes.data_as(p16), n, cp, (self._timeout if timeout is None else timeout))
+        if 0 < rc < n:
+            raise RingTimeout(
+                f"ring_read_frame_i16 timed out mid-frame after {rc}/{n} "
+                f"symbols (stream no longer frame-aligned)")
         _check(rc, "ring_read_frame_i16")
         return out_re, out_im
 

@@ -78,3 +78,18 @@ def test_apply_precoder_matches_golden(rng):
     x = crandn(rng, (u, s))
     got = native_dsp.apply_precoder(w, x)
     np.testing.assert_allclose(got, dsp.apply_precoder(w, x), atol=1e-4)
+
+
+def test_native_geometry_guards():
+    """Bad geometry raises ValueError instead of UB (OOB cyclic-prefix read
+    in modulate; wrapped size_t allocation in demod_frame)."""
+    import pytest
+
+    from ofdm_ls_mrc_tpu.io import native_dsp
+    with pytest.raises(ValueError, match="cp <= f"):
+        native_dsp.modulate_symbol(np.zeros(7, np.complex64), cp=16)
+    with pytest.raises(ValueError, match="invalid geometry"):
+        # f = 1 passes the output allocation but would wrap the native
+        # vector sizing without the guard.
+        native_dsp.demod_frame(np.zeros((3, 2, 9), np.complex64),
+                               np.zeros(7, np.complex64), cp=8)

@@ -715,6 +715,82 @@ class TestDropResync:
         finally:
             w.close()
 
+    def test_master_restart_gets_fresh_segment(self):
+        """A restarting master must NOT re-initialize a stale segment in
+        place (a concurrently-attaching slave could pass the size>0 gate on
+        the stale header mid-rewrite): it unlinks and creates a fresh inode,
+        so writes through a leaked old handle never reach the new ring."""
+        uid = _uid()
+        sym = np.ones((ROWS, COLS), np.complex64)
+        m1 = SymbolRing(uid, ROWS, COLS, LEN, master=True, timeout=5.0)
+        m1.write(sym)
+        m1.write(sym)
+        # "Crashed" producer: segment left published with head=2.  The new
+        # master starts a brand-new segment under the same name.
+        m2 = SymbolRing(uid, ROWS, COLS, LEN, master=True, timeout=5.0)
+        r2 = SymbolRing(uid, ROWS, COLS, LEN, master=False, timeout=5.0)
+        try:
+            assert r2.available == 0          # stale backlog invisible
+            m1.write(sym)                     # old inode: must not surface
+            assert r2.available == 0
+            m2.write(2 * sym)
+            got = r2.read_next(cp=0)
+            np.testing.assert_array_equal(got, 2 * sym)
+        finally:
+            r2.close()
+            m2.close()
+            # m1 maps the unlinked old inode; closing is still safe.
+            m1.close()
+
+    def test_master_close_raises_shutdown_sentinel(self):
+        """A blocked reader observes the MASTER's exit immediately
+        (RingShutdown) instead of burning its full timeout."""
+        uid = _uid()
+        m = SymbolRing(uid, ROWS, COLS, LEN, master=True, timeout=5.0)
+        r = SymbolRing(uid, ROWS, COLS, LEN, master=False, timeout=30.0)
+        exc = []
+
+        def read():
+            try:
+                r.read_next(cp=0, timeout=20.0)
+            except RingShutdown as e:
+                exc.append(e)
+
+        t = threading.Thread(target=read)
+        t.start()
+        import time as _time
+        _time.sleep(0.2)
+        t0 = _time.monotonic()
+        m.close()
+        t.join(timeout=5.0)
+        assert not t.is_alive() and exc
+        assert _time.monotonic() - t0 < 5.0
+        r.close()
+
+    def test_accessors_after_close_do_not_crash(self):
+        uid = _uid()
+        m = SymbolRing(uid, ROWS, COLS, LEN, master=True, timeout=5.0)
+        m.close()
+        assert m.dropped == 0 and m.available == 0 and m.consumed == 0
+        assert m.spin_seconds == 0.0
+        m.close()   # idempotent
+
+    def test_read_frame_partial_timeout_reports_consumption(self):
+        """A timeout that interrupts a partially-read frame reports the
+        mid-frame consumption (the tail advanced INTO a frame) instead of a
+        plain timeout a caller might blindly retry after."""
+        uid = _uid()
+        m = SymbolRing(uid, ROWS, COLS, LEN, master=True, timeout=5.0)
+        r = SymbolRing(uid, ROWS, COLS, LEN, master=False, timeout=5.0)
+        try:
+            sym = np.ones((ROWS, COLS), np.complex64)
+            m.write(sym)   # 1 of the 3 requested symbols
+            with pytest.raises(RingTimeout, match="mid-frame after 1/3"):
+                r.read_frame_planar(3, cp=0, timeout=0.3)
+        finally:
+            r.close()
+            m.close()
+
     def test_zero_timeout_means_immediate(self):
         """timeout=0.0 is an explicit non-blocking poll, not 'use the
         default' -- a falsy-zero bug here stalls teardown paths 30 s."""
