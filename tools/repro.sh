@@ -48,6 +48,10 @@ python bench.py --mesh 1x1
 echo "== regression gates (EVM vs golden + samples/s floor) =="
 python tools/gate.py
 
+# After a chip outage, run the full hardware checklist in priority order
+# (headline sanity, accuracy gate, sharded A/B, latency + mode ratchets,
+# compile-cache timing) with one command:
+#   python tools/chip_checklist.py
 # Full per-mode ratchet (one bench per BENCH_MODES.json entry, ~25 min):
 #   python tools/gate.py --skip-accuracy --skip-perf --modes
 # Refresh the mode records after a perf improvement with:
