@@ -354,3 +354,33 @@ def test_sharded_fused_accepts_int16_shards(rng, devices):
                                  jnp.asarray(im16.reshape(shape4)))).to_numpy()
     err4 = np.max(np.abs(got4 - want)) / np.max(np.abs(want))
     assert err4 < 1e-5, err4
+
+
+class TestCompiledStructure:
+    """parallel.structure: the compiled collective signature (the machinery
+    behind dryrun_multichip's assertion and the SCALING_r* artifacts)."""
+
+    def test_single_fused_psum_and_payload(self, rng, devices):
+        from ofdm_ls_mrc_tpu.parallel.structure import (
+            assert_single_fused_psum, expected_psum_payload_words,
+            fused_psum_signature)
+        pilot = np.exp(2j * np.pi * rng.random(CFG.num_subcarriers)
+                       ).astype(np.complex64)
+        frame = crandn(rng, (CFG.frame_len, CFG.num_antennas, CFG.symbol_len))
+        for ant_shards in (2, 4):
+            mesh = make_mesh(ant_shards, 1)
+            rx = ShardedUplinkReceiver(CFG, pilot, mesh,
+                                       fft_impl="four_step")
+            count, words = fused_psum_signature(rx, frame)
+            assert count == 1
+            # (2*S_data + 1) * F, independent of the antenna-shard count.
+            assert words == expected_psum_payload_words(CFG, 1)
+            assert words == (2 * (CFG.frame_len - 1) + 1) * CFG.fft_size
+            assert_single_fused_psum(rx, frame, CFG, 1)
+
+    def test_payload_shrinks_with_time_shards(self, rng, devices):
+        from ofdm_ls_mrc_tpu.parallel.structure import (
+            expected_psum_payload_words)
+        full = expected_psum_payload_words(CFG, 1)
+        half = expected_psum_payload_words(CFG, 2)
+        assert half == (CFG.num_data_symbols + 1) * CFG.fft_size < full
