@@ -1,19 +1,25 @@
-"""Worker process for the 2-process jax.distributed multihost test.
+"""Worker process for the N-process jax.distributed multihost tests.
 
 Launched by tests/test_multihost.py with env:
-  MH_COORD=127.0.0.1:<port>  MH_NPROC=2  MH_PID=<0|1>
-Each process owns 4 virtual CPU devices (one per 'chip'); the (ant=4, time=2)
-mesh puts the MRC psum inside each process and shards time across processes --
-the exact topology recipe from parallel/multihost.py.
+  MH_COORD=127.0.0.1:<port>  MH_NPROC=<N>  MH_PID=<0..N-1>
+  MH_LOCAL_DEVICES=<chips per process, default 4>
+Each process owns MH_LOCAL_DEVICES virtual CPU devices; the
+(ant=local, time=N) mesh puts the MRC psum inside each process and shards
+time across processes -- the exact topology recipe from parallel/multihost.py.
 """
 
 import os
 import sys
 
+NPROC = int(os.environ.get("MH_NPROC", "2"))
+LOCAL_DEVS = int(os.environ.get("MH_LOCAL_DEVICES", "4"))
+
 os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=4").strip()
+    os.environ["XLA_FLAGS"] = (
+        flags + f" --xla_force_host_platform_device_count={LOCAL_DEVS}"
+    ).strip()
 
 import jax  # noqa: E402
 
@@ -34,9 +40,9 @@ def main() -> int:
 
     pid = int(os.environ["MH_PID"])
     initialize(coordinator_address=os.environ["MH_COORD"],
-               num_processes=int(os.environ["MH_NPROC"]), process_id=pid)
-    assert jax.process_count() == 2, jax.process_count()
-    assert jax.local_device_count() == 4
+               num_processes=NPROC, process_id=pid)
+    assert jax.process_count() == NPROC, jax.process_count()
+    assert jax.local_device_count() == LOCAL_DEVS
 
     cfg = FrameConfig(num_antennas=4, fft_size=64, cyclic_prefix=8, frame_len=9)
     rng = np.random.default_rng(123)  # same seed everywhere: shared truth
@@ -46,7 +52,7 @@ def main() -> int:
                                          cfg.symbol_len))).astype(np.complex64)
     want = dsp.demod_frame(frame, pilot, cfg.cyclic_prefix)
 
-    mesh = make_multihost_mesh()            # (ant=4 local, time=2 processes)
+    mesh = make_multihost_mesh()       # (ant=local chips, time=processes)
     rx = ShardedUplinkReceiver(cfg, pilot, mesh, fft_impl="four_step")
 
     # Each process contributes only ITS time-block of the data symbols,
@@ -59,7 +65,7 @@ def main() -> int:
     from ofdm_ls_mrc_tpu.io.ring import SymbolRing
 
     data = frame[1:]
-    s_local = data.shape[0] // 2
+    s_local = data.shape[0] // NPROC
     block = data[pid * s_local:(pid + 1) * s_local]
 
     uid = f"/mh_{uuid.uuid4().hex[:8]}_{pid}"
@@ -128,7 +134,7 @@ def main() -> int:
     assert rx2.pipeline == "fused", rx2.pipeline
 
     data2 = frame2[1:]
-    s_local2 = data2.shape[0] // 2
+    s_local2 = data2.shape[0] // NPROC
     gdata2 = global_from_host_blocks(
         data2[pid * s_local2:(pid + 1) * s_local2], mesh)
     gpilot2 = CArray(
@@ -168,7 +174,7 @@ def main() -> int:
     rx3 = ShardedUplinkReceiver(cfg3, pilot3, mesh3, pipeline="fused")
     assert rx3._demod_whole is not None
 
-    a_local = cfg3.num_antennas // 2
+    a_local = cfg3.num_antennas // NPROC
     sh4 = fused_frame_shape(cfg3.frame_len, a_local, cfg3.fft_size)
     block3 = frame3[:, pid * a_local:(pid + 1) * a_local].reshape(sh4)
     gframe3 = global_from_antenna_blocks(block3, mesh3)

@@ -53,6 +53,37 @@ def test_two_process_distributed_demod():
 import pytest
 
 
+def test_four_process_distributed_demod():
+    """N=4 'hosts' x 2 chips each: the same worker legs (time-sharded fast,
+    fused+psum, antenna-across-hosts whole-frame) at a process count where
+    any hidden pairwise assumption (2-way splits, coordinator races) would
+    break.  BASELINE metric 2 asks for N>=2; this is the N>2 evidence."""
+    port = _free_port()
+    env_base = {k: v for k, v in os.environ.items()
+                if k not in ("XLA_FLAGS", "JAX_PLATFORMS")}
+    env_base["PYTHONPATH"] = REPO + os.pathsep + env_base.get("PYTHONPATH", "")
+    procs = []
+    for pid in range(4):
+        env = dict(env_base, MH_COORD=f"127.0.0.1:{port}", MH_NPROC="4",
+                   MH_PID=str(pid), MH_LOCAL_DEVICES="2")
+        procs.append(subprocess.Popen(
+            [sys.executable, os.path.join(REPO, "tests", "_mh_worker.py")],
+            env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+            text=True))
+    outs = []
+    for p in procs:
+        try:
+            out, _ = p.communicate(timeout=360)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            raise
+        outs.append(out)
+    for pid, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"proc {pid} failed:\n{out}"
+        assert "antenna-sharded whole-frame rel err" in out
+
+
 @pytest.mark.parametrize("fft,frame_len", [(64, 9), (1024, 3)],
                          ids=["fast-presplit", "fused-whole"])
 def test_two_process_distributed_demod_app(tmp_path, fft, frame_len):
