@@ -158,8 +158,9 @@ def main(argv=None) -> int:
         return _run_distributed(args, cfg, pilot)
 
     if args.mesh:
-        if args.per_symbol:
-            print("--mesh is a whole-frame mode (not --per-symbol)",
+        if args.per_symbol and args.mesh.lower().split("x")[-1] != "1":
+            print("--mesh with --per-symbol streams over the ant axis only "
+                  "(time shards need whole frames); use ANTx1",
                   file=sys.stderr)
             return 2
         try:
@@ -180,6 +181,8 @@ def main(argv=None) -> int:
             print(f"--mesh {args.mesh}: {args.frame_len - 1} data symbols "
                   f"not divisible by {n_time} time shards", file=sys.stderr)
             return 2
+    else:
+        n_ant = n_time = 0
 
     if args.sc16_native:
         if args.ring_dtype != "sc16":
@@ -214,7 +217,19 @@ def main(argv=None) -> int:
                       master=False, timeout=args.timeout, dtype=args.ring_dtype)
 
     if args.per_symbol:
-        return _run_per_symbol(args, cfg, pilot, ring, timer, continuous)
+        mesh = None
+        if args.mesh:
+            import jax as _jax
+
+            from ..parallel import make_mesh
+            devs = _jax.devices()
+            if len(devs) < n_ant:
+                print(f"--mesh {args.mesh} needs {n_ant} devices, "
+                      f"have {len(devs)}", file=sys.stderr)
+                return 2
+            mesh = make_mesh(n_ant, 1, devices=devs[:n_ant])
+        return _run_per_symbol(args, cfg, pilot, ring, timer, continuous,
+                               mesh=mesh)
 
     mesh = None
     if args.mesh:
@@ -566,12 +581,16 @@ def _run_distributed(args, cfg, pilot) -> int:
     return 0
 
 
-def _run_per_symbol(args, cfg, pilot, ring, timer, continuous) -> int:
+def _run_per_symbol(args, cfg, pilot, ring, timer, continuous,
+                    mesh=None) -> int:
     """Per-symbol streaming loop: the reference's main runtime shape
     (firstVector + per-symbol demodOneSymbol, cpuLS_main.cpp:80-93,
     gpuLS.cu:410-473) -- read a symbol from the ring, refresh the estimate on
     slot 0, demod and append an output row on slots 1..L-1, with per-slot
-    read (here) / chanest / decode (inside StreamingDemodulator) timers."""
+    read (here) / chanest / decode (inside StreamingDemodulator) timers.
+    With ``mesh`` (an ANTx1 --mesh) the antenna-sharded streaming path runs
+    instead: the estimate stays device-resident per shard and every symbol
+    costs one 2*F-word psum (parallel/streaming.py)."""
     import jax
 
     from ..golden.io import append_output
@@ -579,13 +598,20 @@ def _run_per_symbol(args, cfg, pilot, ring, timer, continuous) -> int:
     from ..models.streaming import StreamingDemodulator
     from ..ops.cplx import CArray
 
-    pipeline = "fused" if args.pipeline == "fused" else "composed"
-    if args.pipeline != pipeline:
-        print(f"note: --per-symbol has no {args.pipeline!r} variant; "
-              f"using 'composed' (the reference per-symbol semantics)",
-              file=sys.stderr)
-    sd = StreamingDemodulator(cfg, pilot, fft_impl=args.fft_impl,
-                              timer=timer, pipeline=pipeline)
+    if mesh is not None:
+        from ..parallel.streaming import ShardedStreamingDemodulator
+
+        sd = ShardedStreamingDemodulator(cfg, pilot, mesh,
+                                         fft_impl=args.fft_impl, timer=timer,
+                                         pipeline=args.pipeline)
+    else:
+        pipeline = "fused" if args.pipeline == "fused" else "composed"
+        if args.pipeline != pipeline:
+            print(f"note: --per-symbol has no {args.pipeline!r} variant; "
+                  f"using 'composed' (the reference per-symbol semantics)",
+                  file=sys.stderr)
+        sd = StreamingDemodulator(cfg, pilot, fft_impl=args.fft_impl,
+                                  timer=timer, pipeline=pipeline)
     sd.warmup()
     import os
     if args.resume and os.path.exists(args.resume):

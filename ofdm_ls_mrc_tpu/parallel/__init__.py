@@ -16,11 +16,13 @@ from .multihost import (
 )
 from .sharded import ShardedUplinkReceiver
 from .sharded_downlink import ShardedDownlinkTransmitter
+from .streaming import ShardedStreamingDemodulator
 
 __all__ = [
     "ANT_AXIS",
     "TIME_AXIS",
     "ShardedDownlinkTransmitter",
+    "ShardedStreamingDemodulator",
     "ShardedUplinkReceiver",
     "frame_sharding",
     "global_from_antenna_blocks",

@@ -1004,3 +1004,58 @@ def test_demod_app_sharded_mesh(workdir):
     evm = 10 * np.log10(np.mean(np.abs(np.fft.fftshift(got, axes=-1) - want) ** 2)
                         / np.mean(np.abs(want) ** 2))
     assert evm < -25.0, f"EVM {evm:.1f} dB"
+
+
+def test_per_symbol_sharded_mesh_loopback(workdir):
+    """--per-symbol --mesh 2x1: the antenna-sharded streaming path
+    (parallel/streaming.py) through the live three-process topology --
+    estimate sharded per antenna shard, one 2*F-word psum per symbol."""
+    cap = str(workdir / "capture.dat")
+    sent = str(workdir / "sent.dat")
+    out = str(workdir / "Output_tpu.dat")
+    uid = f"/ofdm_app_{uuid.uuid4().hex[:8]}"
+    common = ["--antennas", str(A), "--fft-size", str(F),
+              "--cp-size", str(CP), "--frame-len", str(S)]
+
+    r = run(["ofdm_ls_mrc_tpu.apps.tx_app", "--out", cap, "--data-out", sent,
+             "--pn-preamble", "--snr", "35", "--channel-taps", "4",
+             "--pilots", str(workdir / "nonexistent_pilots.dat"),
+             "--pn-file", str(workdir / "nonexistent_pn.dat")] + common
+            + ["--num-frames", "2"])
+    assert r.returncode == 0, r.stderr
+
+    rx = subprocess.Popen(
+        [sys.executable, "-m", "ofdm_ls_mrc_tpu.apps.rx_app", "--file", cap,
+         "--shm-uid", uid, "--thres", "0.05", "--wait-writes",
+         "--pn-file", str(workdir / "nonexistent_pn.dat"),
+         "--num-frames", "2"] + common,
+        cwd=REPO, env=ENV_BASE, stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+        text=True)
+    dm = subprocess.Popen(
+        [sys.executable, "-m", "ofdm_ls_mrc_tpu.apps.demod_app",
+         "--shm-uid", uid, "--output", out, "--num-frames", "2",
+         "--per-symbol", "--mesh", "2x1", "--pipeline", "fast",
+         "--pilots", str(workdir / "nonexistent_pilots.dat")] + common,
+        cwd=REPO, env=ENV_BASE, stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+        text=True)
+    rx_out, rx_err = rx.communicate(timeout=300)
+    dm_out, dm_err = dm.communicate(timeout=300)
+    assert rx.returncode == 0, rx_err + rx_out
+    assert dm.returncode == 0, dm_err + dm_out
+
+    got = np.fromfile(out, dtype=np.complex64).reshape(2 * (S - 1), F - 1)
+    want = np.fromfile(sent, dtype=np.complex64).reshape(2 * (S - 1), F - 1)
+    got_natural = np.fft.fftshift(got, axes=-1)
+    evm = 10 * np.log10(np.mean(np.abs(got_natural - want) ** 2)
+                        / np.mean(np.abs(want) ** 2))
+    assert evm < -25.0, f"EVM {evm:.1f} dB"
+
+
+def test_per_symbol_mesh_requires_ant_only(workdir):
+    """--per-symbol with time shards is rejected up front: per-symbol
+    streaming has no time batch to shard."""
+    r = run(["ofdm_ls_mrc_tpu.apps.demod_app", "--per-symbol",
+             "--mesh", "2x2", "--antennas", str(A), "--fft-size", str(F),
+             "--cp-size", "0", "--frame-len", str(S), "--shm-uid", "/nope",
+             "--pilots", str(workdir / "none.dat")])
+    assert r.returncode == 2 and "ant axis only" in r.stderr

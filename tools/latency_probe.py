@@ -85,7 +85,21 @@ def main():
                    jax.device_put(np.ascontiguousarray(syms.imag)))
 
     def measure(body):
-        if body == "fused":
+        if body in ("fused-sharded", "fast-sharded"):
+            # The antenna-sharded per-symbol path (parallel/streaming.py) on
+            # the hardware 1x1 mesh: shard_map wrapper + the per-symbol
+            # numerator psum (a 1-device no-op) ride inside the timed
+            # program, so this is the sharded low-latency capability number.
+            from ofdm_ls_mrc_tpu.parallel import (
+                ShardedStreamingDemodulator, make_mesh)
+            sd = ShardedStreamingDemodulator(
+                cfg, pilot_x, make_mesh(1, 1, devices=jax.devices()[:1]),
+                pipeline=body.split("-")[0])
+            sd.push_pilot(pilot_sym)
+            h, hnorm = sd._hconj, sd._hsqrd
+            jax.block_until_ready(hnorm)
+            demod = sd._demod  # jit-of-jit inlines inside the R-loop program
+        elif body == "fused":
             x_perm = fastpath.prepare_pilot_fast(pilot_x, f)
             h, hnorm = jax.jit(functools.partial(
                 _estimate_symbol_fused_fn, cp=0))(
