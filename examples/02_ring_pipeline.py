@@ -15,12 +15,18 @@ import argparse
 import multiprocessing as mp
 import os
 import sys
+import tempfile
+import uuid
 
 import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-RING_UID = "/ofdm_example_ring"
+# Unique per run: concurrent invocations (another user, a parallel test
+# runner) must not attach to each other's segment or pilot file.
+RING_UID = f"/ofdm_example_{uuid.uuid4().hex[:8]}"
+PILOT_PATH = os.path.join(tempfile.gettempdir(),
+                          f"ofdm_example_pilot_{uuid.uuid4().hex[:8]}.npy")
 
 
 def tx_grid(frame_idx: int, cfg, scheme="qpsk"):
@@ -34,7 +40,8 @@ def tx_grid(frame_idx: int, cfg, scheme="qpsk"):
                           scheme)[0]
 
 
-def produce(uid: str, frames: int, seed: int, snr_db: float) -> None:
+def produce(uid: str, pilot_path: str, frames: int, seed: int,
+            snr_db: float) -> None:
     """Producer process: synthesize frames and write them symbol-bursts at a
     time, like the RX app's writer thread (rx_and_corr.cpp:64-87)."""
     from ofdm_ls_mrc_tpu import FrameConfig
@@ -46,7 +53,7 @@ def produce(uid: str, frames: int, seed: int, snr_db: float) -> None:
     rng = np.random.default_rng(seed)
     pilot = np.exp(2j * np.pi * rng.random(cfg.num_subcarriers)
                    ).astype(np.complex64)
-    np.save("/tmp/ofdm_example_pilot.npy", pilot)
+    np.save(pilot_path, pilot)
     chan = ChannelModel(cfg.num_antennas, cfg.fft_size, num_taps=8,
                         snr_db=snr_db, seed=seed)
     # Master creates the segment; the writer strips the CP before the ring,
@@ -80,7 +87,8 @@ def main(argv=None) -> int:
     from ofdm_ls_mrc_tpu.sim import evm_db
 
     proc = mp.get_context("spawn").Process(
-        target=produce, args=(RING_UID, args.frames, 11, 28.0), daemon=True)
+        target=produce, args=(RING_UID, PILOT_PATH, args.frames, 11, 28.0),
+        daemon=True)
     proc.start()
 
     # Ring symbols are already CP-free, so the receiver runs cyclic_prefix=0
@@ -95,7 +103,7 @@ def main(argv=None) -> int:
         got, worst_evm = 0, -1000.0
         for frame in feed.frames(max_frames=args.frames):  # CArray on device
             if rx is None:
-                pilot = np.load("/tmp/ofdm_example_pilot.npy")
+                pilot = np.load(PILOT_PATH)
                 rx = UplinkReceiver(cfg, pilot)
             out = rx.demod_frame(frame).to_numpy()
             evm = evm_db(np.fft.fftshift(out, axes=-1), tx_grid(got, cfg))
@@ -106,6 +114,8 @@ def main(argv=None) -> int:
         print(ring.info())
 
     proc.join(timeout=30)
+    if os.path.exists(PILOT_PATH):
+        os.unlink(PILOT_PATH)
     ok = got == args.frames and worst_evm < -25.0
     print("OK" if ok else f"FAIL: {got}/{args.frames} frames")
     return 0 if ok else 1

@@ -213,35 +213,29 @@ def main(argv=None) -> int:
                      ) else PhaseTimer(
         num_slots=args.frame_len, num_times=args.num_frames)
 
-    ring = SymbolRing(args.shm_uid, args.antennas, ring_cols, args.frame_len,
-                      master=False, timeout=args.timeout, dtype=args.ring_dtype)
-
-    if args.per_symbol:
-        mesh = None
-        if args.mesh:
-            import jax as _jax
-
-            from ..parallel import make_mesh
-            devs = _jax.devices()
-            if len(devs) < n_ant:
-                print(f"--mesh {args.mesh} needs {n_ant} devices, "
-                      f"have {len(devs)}", file=sys.stderr)
-                return 2
-            mesh = make_mesh(n_ant, 1, devices=devs[:n_ant])
-        return _run_per_symbol(args, cfg, pilot, ring, timer, continuous,
-                               mesh=mesh)
-
+    # One mesh for either consumer (--per-symbol runs ANTx1, gated above).
     mesh = None
     if args.mesh:
         import jax as _jax
 
-        from ..parallel import ShardedUplinkReceiver, make_mesh
+        from ..parallel import make_mesh
         devs = _jax.devices()
-        if len(devs) < n_ant * n_time:
-            print(f"--mesh {args.mesh} needs {n_ant * n_time} devices, "
+        need = n_ant * n_time
+        if len(devs) < need:
+            print(f"--mesh {args.mesh} needs {need} devices, "
                   f"have {len(devs)}", file=sys.stderr)
             return 2
-        mesh = make_mesh(n_ant, n_time, devices=devs[:n_ant * n_time])
+        mesh = make_mesh(n_ant, n_time, devices=devs[:need])
+
+    ring = SymbolRing(args.shm_uid, args.antennas, ring_cols, args.frame_len,
+                      master=False, timeout=args.timeout, dtype=args.ring_dtype)
+
+    if args.per_symbol:
+        return _run_per_symbol(args, cfg, pilot, ring, timer, continuous,
+                               mesh=mesh)
+
+    if mesh is not None:
+        from ..parallel import ShardedUplinkReceiver
         rx = ShardedUplinkReceiver(cfg, pilot, mesh,
                                    fft_impl=args.fft_impl,
                                    pipeline=args.pipeline,

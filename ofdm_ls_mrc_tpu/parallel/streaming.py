@@ -253,6 +253,12 @@ class ShardedStreamingDemodulator:
             save_estimate(path, self.cfg, hconj, hsq[inv], frame_index)
 
     def resume(self, path: str) -> int:
+        if jax.process_count() > 1:
+            # Mirror save_state's guard: device_put to a mesh spanning other
+            # processes' devices fails with an opaque sharding error.
+            raise RuntimeError("resume scatters a host-side estimate onto "
+                               "this mesh; multi-process runs checkpoint per "
+                               "time-block via the whole-frame consumer")
         from ..io.state import load_estimate
 
         hconj, hsqrd, idx = load_estimate(path, self.cfg)

@@ -20,6 +20,22 @@ from typing import Tuple
 import numpy as np
 
 
+def collective_signature(compiled_text: str) -> Tuple[int, int]:
+    """(all_reduce_count, payload_fp32_words) read off compiled HLO text.
+
+    The single parse shared by the dryrun assertions, the committed scaling
+    artifacts, and tests -- fix payload accounting here, nowhere else.
+    """
+    ar_lines = [ln for ln in compiled_text.splitlines()
+                if re.search(r"=.*\ball-reduce\(", ln)]
+    elems = 0
+    for ln in ar_lines:
+        sig = ln.split("all-reduce(")[0]
+        elems += sum(int(np.prod([int(d) for d in dims.split(",")]))
+                     for dims in re.findall(r"f32\[([0-9,]+)\]", sig))
+    return len(ar_lines), elems
+
+
 def fused_psum_signature(rx, frame: np.ndarray) -> Tuple[int, int]:
     """Compile the sharded split-entry demod step and read its collective
     structure.
@@ -36,14 +52,7 @@ def fused_psum_signature(rx, frame: np.ndarray) -> Tuple[int, int]:
 
     c = CArray.from_numpy(frame)
     txt = rx._demod.lower(c[0], c[1:], rx.x_full).compile().as_text()
-    ar_lines = [ln for ln in txt.splitlines()
-                if re.search(r"=.*\ball-reduce\(", ln)]
-    elems = 0
-    for ln in ar_lines:
-        sig = ln.split("all-reduce(")[0]
-        elems += sum(int(np.prod([int(d) for d in dims.split(",")]))
-                     for dims in re.findall(r"f32\[([0-9,]+)\]", sig))
-    return len(ar_lines), elems
+    return collective_signature(txt)
 
 
 def expected_psum_payload_words(cfg, time_shards: int = 1) -> int:

@@ -100,9 +100,8 @@ def run_sweep(antennas: int, fft: int, symbols: int, cp: int, scheme: str,
         # in SNR, so theory must be evaluated at each (seed, bin) operating
         # point and averaged -- theory at the aggregate EVM understates the
         # error rate (Jensen).
-        err_total = {p: 0.0 for p in pipelines}
+        evm_total = {p: 0.0 for p in pipelines}
         ser_theory = {p: 0.0 for p in pipelines}
-        sig_total = 0.0
         sym_errors = {p: 0 for p in pipelines}
         n_syms = 0
         for seed in range(seeds):
@@ -113,8 +112,7 @@ def run_sweep(antennas: int, fft: int, symbols: int, cp: int, scheme: str,
                                 num_taps=num_taps, snr_db=float(snr_db),
                                 seed=100 + seed)
             rx_frame = chan.apply(tx, cp)
-            sig_bin = np.mean(np.abs(data) ** 2, axis=0)  # ~1.0 per bin
-            sig_total += float(np.sum(sig_bin)) / sig_bin.size
+            sig_bin = np.mean(np.abs(data) ** 2, axis=0)
             n_syms += idx.size
             for p in pipelines:
                 out = _demod(p, rx_frame, pilot, cp, receiver_cache)
@@ -123,13 +121,14 @@ def run_sweep(antennas: int, fft: int, symbols: int, cp: int, scheme: str,
                 nat = np.fft.fftshift(out, axes=-1)
                 evm_bin = (np.mean(np.abs(nat - data) ** 2, axis=0)
                            / np.maximum(sig_bin, 1e-30))
-                err_total[p] += float(np.mean(evm_bin))
+                evm_total[p] += float(np.mean(evm_bin))
                 ser_theory[p] += float(np.mean(ser_awgn(
                     1.0 / np.maximum(evm_bin, 1e-30), scheme)))
                 sym_errors[p] += int(np.sum(demap_symbols(nat, scheme) != idx))
         row = {"snr_db": float(snr_db), "n_syms": n_syms}
         for p in pipelines:
-            evm_lin = err_total[p] / max(sig_total, 1e-30)
+            # evm_bin is already error/signal per bin; average over seeds.
+            evm_lin = evm_total[p] / seeds
             evm = 10.0 * math.log10(evm_lin + 1e-30)
             row[f"evm_db_{p}"] = round(evm, 2)
             row[f"ser_{p}"] = sym_errors[p] / n_syms
