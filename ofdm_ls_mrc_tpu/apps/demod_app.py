@@ -58,6 +58,15 @@ def build_parser() -> argparse.ArgumentParser:
                          "faithful per-slot read/chanest/decode timing rows "
                          "(the reference's main runtime loop, "
                          "cpuLS_main.cpp:80-93, gpuLS.cu:410-473)")
+    ap.add_argument("--link-quality", default=None, metavar="SCHEME",
+                    help="report decision-directed EVM per emitted block "
+                         "and overall (no ground truth needed: error vector "
+                         "to the NEAREST constellation point of SCHEME, "
+                         "e.g. qpsk/16qam/64qam) -- the live link-quality "
+                         "metric an operator watches; trustworthy while the "
+                         "symbol error rate is low (errors snap to wrong "
+                         "points and flatter the number otherwise). "
+                         "Whole-frame/batch modes only")
     ap.add_argument("--catch-up", action="store_true",
                     help="real-time mode: skip stale queued frames instead of "
                          "draining backlog (readLastSymbol semantics); in "
@@ -199,6 +208,17 @@ def main(argv=None) -> int:
     if args.batch_frames > 1 and args.per_symbol:
         print("note: --batch-frames has no effect in --per-symbol mode",
               file=sys.stderr)
+    if args.link_quality is not None:
+        from ..sim.channel import CONSTELLATIONS
+        if args.link_quality not in CONSTELLATIONS:
+            print(f"--link-quality {args.link_quality!r}: unknown scheme "
+                  f"(choices: {', '.join(sorted(CONSTELLATIONS))})",
+                  file=sys.stderr)
+            return 2
+        if args.per_symbol:
+            print("--link-quality is a whole-frame/batch mode "
+                  "(not --per-symbol)", file=sys.stderr)
+            return 2
     if args.per_symbol and (args.drop_dirty
                             or args.frame_index not in (None, "none")):
         # Fail loud instead of silently skipping the provenance guarantees:
@@ -358,10 +378,14 @@ def main(argv=None) -> int:
         emitted_rows += nrows
         seq += 1
 
+    lq = _LinkQuality(args.link_quality) if args.link_quality else None
+
     def emit(arr):
         nonlocal wrote_any
         append_output(args.output, arr, truncate=not wrote_any)
         wrote_any = True
+        if lq is not None:
+            lq.update(arr)
 
     def demod_batch(frames):
         import jax.numpy as jnp
@@ -462,6 +486,10 @@ def main(argv=None) -> int:
     if index_f is not None:
         index_f.close()
     print(f"demodulated {n} frame(s) -> {args.output}")
+    if lq is not None and lq.blocks:
+        print(f"link quality ({lq.scheme} decision-directed EVM): "
+              f"{lq.overall_db():.1f} dB overall, worst block "
+              f"{lq.worst_db:.1f} dB over {lq.blocks} block(s)")
     if feed.drop_events:
         print(f"writer overruns: {feed.drop_events} event(s), "
               f"{feed.resynced_frames} boundary resync(s), "
@@ -573,6 +601,50 @@ def _run_distributed(args, cfg, pilot) -> int:
           f"processes x {a_local} antennas ({rx.pipeline} pipeline)",
           file=sys.stderr)
     return 0
+
+
+class _LinkQuality:
+    """Decision-directed EVM over emitted output blocks: the error vector to
+    the NEAREST constellation point, so live link quality needs no ground
+    truth (the reference has no runtime quality metric at all; its
+    verification is offline file diffing, SURVEY.md section 4).  Reliable
+    while the symbol error rate is low -- hard-decision errors snap to the
+    wrong point and understate the error power past roughly the scheme's
+    working SER."""
+
+    def __init__(self, scheme: str):
+        from ..sim.channel import CONSTELLATIONS
+
+        self.scheme = scheme
+        self._const = CONSTELLATIONS[scheme]
+        self._err_pow = 0.0
+        self._ref_pow = 0.0
+        self.blocks = 0
+        self.worst_db = float("-inf")
+
+    def update(self, rows: np.ndarray) -> float:
+        """rows: [N, F-1] reference-layout output; returns this block's
+        dd-EVM in dB and folds it into the running totals."""
+        import math
+
+        from ..sim.channel import demap_symbols
+
+        nat = np.fft.fftshift(rows, axes=-1)
+        ref = self._const[demap_symbols(nat, self.scheme)]
+        err = float(np.sum(np.abs(nat - ref) ** 2))
+        refp = float(np.sum(np.abs(ref) ** 2))
+        self._err_pow += err
+        self._ref_pow += refp
+        self.blocks += 1
+        block_db = 10.0 * math.log10(err / max(refp, 1e-30) + 1e-30)
+        self.worst_db = max(self.worst_db, block_db)
+        return block_db
+
+    def overall_db(self) -> float:
+        import math
+
+        return 10.0 * math.log10(
+            self._err_pow / max(self._ref_pow, 1e-30) + 1e-30)
 
 
 def _run_per_symbol(args, cfg, pilot, ring, timer, continuous,

@@ -1059,3 +1059,73 @@ def test_per_symbol_mesh_requires_ant_only(workdir):
              "--cp-size", "0", "--frame-len", str(S), "--shm-uid", "/nope",
              "--pilots", str(workdir / "none.dat")])
     assert r.returncode == 2 and "ant axis only" in r.stderr
+
+
+def test_link_quality_decision_directed_evm(workdir):
+    """--link-quality: the live decision-directed EVM must track the true
+    EVM (computed offline against the sent grid) at a low-SER operating
+    point -- the operator metric needs no ground truth."""
+    import re as _re
+    cap = str(workdir / "capture.dat")
+    sent = str(workdir / "sent.dat")
+    out = str(workdir / "Output_tpu.dat")
+    uid = f"/ofdm_app_{uuid.uuid4().hex[:8]}"
+    common = ["--antennas", str(A), "--fft-size", str(F),
+              "--cp-size", str(CP), "--frame-len", str(S)]
+
+    r = run(["ofdm_ls_mrc_tpu.apps.tx_app", "--out", cap, "--data-out", sent,
+             "--pn-preamble", "--snr", "35", "--channel-taps", "4",
+             "--modulation", "16qam",
+             "--pilots", str(workdir / "nonexistent_pilots.dat"),
+             "--pn-file", str(workdir / "nonexistent_pn.dat")] + common
+            + ["--num-frames", "2"])
+    assert r.returncode == 0, r.stderr
+
+    rx = subprocess.Popen(
+        [sys.executable, "-m", "ofdm_ls_mrc_tpu.apps.rx_app", "--file", cap,
+         "--shm-uid", uid, "--thres", "0.05", "--wait-writes",
+         "--pn-file", str(workdir / "nonexistent_pn.dat"),
+         "--num-frames", "2"] + common,
+        cwd=REPO, env=ENV_BASE, stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+        text=True)
+    dm = subprocess.Popen(
+        [sys.executable, "-m", "ofdm_ls_mrc_tpu.apps.demod_app",
+         "--shm-uid", uid, "--output", out, "--num-frames", "2",
+         "--link-quality", "16qam",
+         "--pilots", str(workdir / "nonexistent_pilots.dat")] + common,
+        cwd=REPO, env=ENV_BASE, stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+        text=True)
+    rx_out, rx_err = rx.communicate(timeout=300)
+    dm_out, dm_err = dm.communicate(timeout=300)
+    assert rx.returncode == 0, rx_err + rx_out
+    assert dm.returncode == 0, dm_err + dm_out
+
+    m = _re.search(r"link quality \(16qam decision-directed EVM\): "
+                   r"(-?\d+\.\d) dB overall, worst block (-?\d+\.\d) dB "
+                   r"over (\d+) block", dm_out)
+    assert m, dm_out
+    dd_evm, worst, blocks = float(m.group(1)), float(m.group(2)), int(m.group(3))
+    assert blocks == 2
+
+    got = np.fromfile(out, dtype=np.complex64).reshape(2 * (S - 1), F - 1)
+    want = np.fromfile(sent, dtype=np.complex64).reshape(2 * (S - 1), F - 1)
+    true_evm = 10 * np.log10(np.mean(np.abs(np.fft.fftshift(got, axes=-1)
+                                            - want) ** 2)
+                             / np.mean(np.abs(want) ** 2))
+    assert true_evm < -25.0
+    # At this operating point hard decisions are error-free, so dd == true.
+    assert abs(dd_evm - true_evm) < 1.0, (dd_evm, true_evm)
+    assert worst >= dd_evm - 0.01
+
+
+def test_link_quality_rejected_outside_whole_frame(workdir):
+    r = run(["ofdm_ls_mrc_tpu.apps.demod_app", "--per-symbol",
+             "--link-quality", "qpsk", "--antennas", str(A),
+             "--fft-size", str(F), "--cp-size", "0", "--frame-len", str(S),
+             "--shm-uid", "/nope", "--pilots", str(workdir / "none.dat")])
+    assert r.returncode == 2 and "whole-frame" in r.stderr
+    r = run(["ofdm_ls_mrc_tpu.apps.demod_app", "--link-quality", "8psk",
+             "--antennas", str(A), "--fft-size", str(F), "--cp-size", "0",
+             "--frame-len", str(S), "--shm-uid", "/nope",
+             "--pilots", str(workdir / "none.dat")])
+    assert r.returncode == 2 and "unknown scheme" in r.stderr
