@@ -82,3 +82,34 @@ def test_soak_continuous_sync_rejects_multi_frame():
         cwd=REPO, capture_output=True, text=True, timeout=60)
     assert r.returncode == 2
     assert "--num-frames 1" in r.stderr
+
+
+def test_soak_per_symbol_sharded_mesh(tmp_path):
+    """The per-symbol consumer on an ANTx1 mesh: the antenna-sharded
+    streaming demodulator (parallel/streaming.py) under the same
+    backpressured-producer verdict -- the r4 low-latency path soaked
+    through the live topology."""
+    flags = os.environ.get("XLA_FLAGS", "")
+    if "host_platform_device_count" not in flags:
+        flags = (flags + " --xla_force_host_platform_device_count=2").strip()
+    env = {**os.environ, "JAX_PLATFORMS": "cpu", "XLA_FLAGS": flags}
+    r = subprocess.run(
+        [sys.executable, os.path.join(REPO, "tools", "soak.py"),
+         "--seconds", "8", "--min-frames", "2", "--num-frames", "1",
+         "--consumer", "per-symbol", "--mesh", "2x1", "--pipeline", "fast",
+         "--dir", str(tmp_path)],
+        cwd=REPO, env=env, capture_output=True, text=True, timeout=280)
+    assert r.returncode == 0, r.stdout + r.stderr
+    rec = json.loads(r.stdout.strip().splitlines()[-1])
+    assert rec["pass"] and rec["clean_frames"] >= 2
+    assert rec["dirty_frames"] == 0
+    assert rec["evm_clean_db"]["max"] <= -25.0
+
+
+def test_soak_per_symbol_mesh_requires_ant_only():
+    r = subprocess.run(
+        [sys.executable, os.path.join(REPO, "tools", "soak.py"),
+         "--consumer", "per-symbol", "--num-frames", "1", "--mesh", "2x2"],
+        cwd=REPO, capture_output=True, text=True, timeout=60)
+    assert r.returncode == 2
+    assert "ant axis only" in r.stderr

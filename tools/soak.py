@@ -150,9 +150,14 @@ def main(argv=None) -> int:
               "has no provenance index; scoring needs one sent grid)",
               file=sys.stderr)
         return 2
-    if per_symbol and (args.sc16_native or args.mesh):
+    if per_symbol and args.sc16_native:
         print("--consumer per-symbol is a plain streaming mode "
-              "(no --sc16-native/--mesh)", file=sys.stderr)
+              "(no --sc16-native)", file=sys.stderr)
+        return 2
+    if per_symbol and args.mesh and args.mesh.lower().split("x")[-1] != "1":
+        # demod_app gates this too; fail here before spawning processes.
+        print("--consumer per-symbol shards over the ant axis only "
+              "(ANTx1 mesh -- parallel/streaming.py)", file=sys.stderr)
         return 2
     workdir = args.dir or os.path.join(
         "/tmp", f"ofdm_soak_{uuid.uuid4().hex[:8]}")
