@@ -188,3 +188,50 @@ def test_max_len_sequence_unsupported_size_is_valueerror():
         max_len_sequence(2047)   # k=11: valid 2**k-1, taps not registered
     with pytest.raises(ValueError, match="not 2"):
         max_len_sequence(100)
+
+
+@pytest.mark.parametrize("seed", range(8))
+def test_randomized_impairment_stress(seed):
+    """Property: under ARBITRARY mixes of sample drops, inserted garbage,
+    and receive-buffer sizes, every emitted frame is sample-exact against
+    some sent payload except at the impairment instants themselves (at
+    most the damaged frame and its successor per impairment), and emitted
+    frames never reorder or duplicate.  The directed tests above pin each
+    behavior; this sweeps their compositions."""
+    rng = np.random.default_rng(10_000 + seed)
+    n = 12
+    pay = _payloads(rng, n)
+    pn_blk = np.broadcast_to(PN, (A, PN.size))
+    chunks = []
+    impairments = 0
+    for p in pay:
+        blk = np.concatenate([pn_blk, p], axis=1)
+        r = rng.random()
+        if r < 0.15:
+            # Drop a random slice inside this frame's span.
+            a = int(rng.integers(0, blk.shape[1] - 60))
+            ln = int(rng.integers(5, 60))
+            blk = np.concatenate([blk[:, :a], blk[:, a + ln:]], axis=1)
+            impairments += 1
+        elif r < 0.30:
+            # Insert garbage ahead of this frame (clock slip / RF junk).
+            glen = int(rng.integers(1, 40))
+            g = (0.05 * (rng.standard_normal((A, glen))
+                         + 1j * rng.standard_normal((A, glen)))
+                 ).astype(np.complex64)
+            blk = np.concatenate([g, blk], axis=1)
+            impairments += 1
+        chunks.append(blk)
+    stream = np.concatenate(chunks, axis=1)
+
+    sync = StreamSynchronizer(PN, FRAME, thres=0.45)
+    got = _push_chunks(sync, stream, chunk=int(rng.integers(100, 700)))
+
+    sent = {p.tobytes(): i for i, p in enumerate(pay)}
+    matched = [sent[g.tobytes()] for g in got if g.tobytes() in sent]
+    bad = len(got) - len(matched)
+    # Damage stays local to the impairment instants.
+    assert bad <= 2 * impairments, (bad, impairments)
+    assert len(matched) >= n - 2 * impairments - 1, (len(matched), impairments)
+    # No reordering, no duplicates.
+    assert matched == sorted(set(matched)), matched
