@@ -18,7 +18,12 @@ Priority order (each step independently skippable via --steps):
            entry (flip only on a >2% interleaved win; docs/PERF.md
            negative: cross-process comparisons lie on the tunnel).
   ab64     same at 64 antennas.
-  latency  tools/latency_probe.py --record LATENCY.json (ts=1 ratchet).
+  latency  tools/latency_probe.py --record LATENCY.json (ts=1 ratchet,
+           incl. the antenna-sharded streaming bodies).
+  soak     120 s sustained-overrun soak at the full reference geometry
+           (the committed SOAK_r*.json shape).
+  waterfall  full-geometry SNR sweep, fused kernel vs golden (the
+           committed WATERFALL.json artifact).
   cache    persistent-compile-cache cold vs warm start (two fresh
            subprocesses sharing a throwaway cache dir) -- the number
            behind the --compile-cache claim in docs/PORTING.md.
@@ -135,10 +140,55 @@ def _step_ab(out, antennas):
 
 def step_latency(out):
     r, dt = _run([sys.executable, os.path.join("tools", "latency_probe.py"),
+                  "--bodies", "fused,composed,fused-sharded,fast-sharded",
                   "--record", os.path.join(REPO, "LATENCY.json")])
     print(r.stdout, end="")
     out["latency"] = {"rc": r.returncode, "seconds": round(dt, 1)}
     return r.returncode
+
+
+def step_soak(out):
+    """120 s sustained-overrun soak at the full reference geometry (the
+    committed SOAK_r*.json shape): sc16-native TPU consumer vs a 4 Msps
+    paced producer cycling 8 distinct frames, per-frame provenance EVM."""
+    r, dt = _run([sys.executable, os.path.join("tools", "soak.py"),
+                  "--seconds", "120", "--antennas", "16",
+                  "--fft-size", "1024", "--cp-size", "72",
+                  "--frame-len", "101", "--ring-dtype", "sc16",
+                  "--sc16-native", "--rate", "4e6", "--num-frames", "8",
+                  "--timeout", "600"], timeout=2400)
+    sys.stdout.write(r.stdout[-500:])
+    try:
+        rec = _last_json(r.stdout)
+    except Exception:
+        out["soak"] = {"rc": r.returncode, "stderr": r.stderr[-500:]}
+        return 1
+    rec["seconds_wall"] = round(dt, 1)
+    out["soak"] = rec
+    print(f"[checklist] soak: {rec['clean_frames']} clean / "
+          f"{rec['dirty_frames']} dirty, EVM max "
+          f"{rec['evm_clean_db']['max']:.1f} dB -> "
+          f"{'PASS' if rec['pass'] else 'FAIL'}")
+    return 0 if rec["pass"] else 1
+
+
+def step_waterfall(out):
+    """Full-geometry SNR sweep with the fused kernel on the chip (the
+    committed WATERFALL.json artifact)."""
+    r, dt = _run([sys.executable, os.path.join("tools", "waterfall.py"),
+                  "--snrs=-10,-5,0,5,10,15,20", "--seeds", "3",
+                  "--pipelines", "golden,fused",
+                  "--out", os.path.join(REPO, "WATERFALL.json")],
+                 timeout=2400)
+    if r.returncode != 0:
+        out["waterfall"] = {"rc": r.returncode, "stderr": r.stderr[-500:]}
+        return 1
+    rec = _last_json(r.stdout)
+    rec["seconds"] = round(dt, 1)
+    out["waterfall"] = rec
+    print(f"[checklist] waterfall: {rec['points']} points, pipelines agree "
+          f"to {rec['pipelines_agree_db']} dB")
+    return 0 if rec["pipelines_agree_db"] < 0.5 else 1
 
 
 def step_cache(out):
@@ -194,7 +244,8 @@ def step_modes(out):
 STEPS = [("sanity", step_sanity), ("gate", step_gate),
          ("ab16", lambda o: _step_ab(o, 16)),
          ("ab64", lambda o: _step_ab(o, 64)),
-         ("latency", step_latency), ("cache", step_cache),
+         ("latency", step_latency), ("soak", step_soak),
+         ("waterfall", step_waterfall), ("cache", step_cache),
          ("modes", step_modes)]
 
 

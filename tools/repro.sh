@@ -33,6 +33,11 @@ echo "== antenna-scaling harness (virtual 8-device CPU mesh) =="
 python tools/scaling_bench.py --virtual 8 --reps 2 --r-hi 7 --batch 1 \
     --out SCALING_repro.json
 
+echo "== SNR waterfall (theory cross-check, small sweep) =="
+python tools/waterfall.py --platform cpu --antennas 8 --fft 128 \
+    --symbols 33 --cp 16 --num-taps 4 --snrs=0,10,20 --seeds 2 \
+    --pipelines golden,fast --out /tmp/WATERFALL_repro.json
+
 echo "== ring ingest benchmark =="
 python tools/ring_bench.py --batch --symbols 10100
 python tools/ring_bench.py --batch --symbols 10100 --dtype sc16
@@ -62,6 +67,10 @@ python tools/gate.py
 # Sharded-entry A/B (split vs whole, shared-compile interleaved):
 #   python tools/ab_sharded.py --mesh 1x1
 # Sustained-pressure soak (three processes, per-frame EVM verdict; on the
-# TPU host run minutes long at the reference geometry):
+# TPU host run minutes long at the reference geometry -- the committed
+# SOAK_r4.json is such a run):
 #   python tools/soak.py --seconds 120 --antennas 16 --fft-size 1024 \
 #       --frame-len 101 --ring-dtype sc16 --sc16-native --rate 4e6
+# Full-geometry SNR waterfall with the fused kernel on the chip (the
+# committed WATERFALL*.json artifacts):
+#   python tools/waterfall.py --pipelines golden,fused [--scheme 16qam]
