@@ -163,6 +163,18 @@ def main(argv=None) -> int:
 
     pilot = load_pilot(args.pilots, cfg.num_subcarriers)
 
+    if args.link_quality is not None:
+        from ..sim.channel import CONSTELLATIONS
+        if args.link_quality not in CONSTELLATIONS:
+            print(f"--link-quality {args.link_quality!r}: unknown scheme "
+                  f"(choices: {', '.join(sorted(CONSTELLATIONS))})",
+                  file=sys.stderr)
+            return 2
+        if args.per_symbol:
+            print("--link-quality is a whole-frame/batch mode "
+                  "(not --per-symbol)", file=sys.stderr)
+            return 2
+
     if args.distributed:
         return _run_distributed(args, cfg, pilot)
 
@@ -208,17 +220,6 @@ def main(argv=None) -> int:
     if args.batch_frames > 1 and args.per_symbol:
         print("note: --batch-frames has no effect in --per-symbol mode",
               file=sys.stderr)
-    if args.link_quality is not None:
-        from ..sim.channel import CONSTELLATIONS
-        if args.link_quality not in CONSTELLATIONS:
-            print(f"--link-quality {args.link_quality!r}: unknown scheme "
-                  f"(choices: {', '.join(sorted(CONSTELLATIONS))})",
-                  file=sys.stderr)
-            return 2
-        if args.per_symbol:
-            print("--link-quality is a whole-frame/batch mode "
-                  "(not --per-symbol)", file=sys.stderr)
-            return 2
     if args.per_symbol and (args.drop_dirty
                             or args.frame_index not in (None, "none")):
         # Fail loud instead of silently skipping the provenance guarantees:
@@ -586,6 +587,8 @@ def _run_distributed(args, cfg, pilot) -> int:
     ring = SymbolRing(args.shm_uid, a_local, args.fft_size + args.cp_size,
                       cfg.frame_len, master=False, timeout=args.timeout,
                       dtype=args.ring_dtype)
+    lq = (_LinkQuality(args.link_quality)
+          if (args.link_quality and pid == 0) else None)
     rows = 0
     try:
         for k in range(args.num_frames):
@@ -594,12 +597,18 @@ def _run_distributed(args, cfg, pilot) -> int:
             o = to_host(demod(re_h, im_h))
             if pid == 0:
                 append_output(args.output, o, truncate=(k == 0))
+                if lq is not None:
+                    lq.update(o)
             rows += o.shape[0]
     finally:
         ring.close()
     print(f"[proc {pid}] demodulated {rows} data symbols across {nproc} "
           f"processes x {a_local} antennas ({rx.pipeline} pipeline)",
           file=sys.stderr)
+    if lq is not None and lq.blocks:
+        print(f"link quality ({lq.scheme} decision-directed EVM): "
+              f"{lq.overall_db():.1f} dB overall, worst block "
+              f"{lq.worst_db:.1f} dB over {lq.blocks} block(s)")
     return 0
 
 
@@ -629,9 +638,10 @@ class _LinkQuality:
 
         from ..sim.channel import demap_symbols
 
-        nat = np.fft.fftshift(rows, axes=-1)
-        ref = self._const[demap_symbols(nat, self.scheme)]
-        err = float(np.sum(np.abs(nat - ref) ** 2))
+        # Nearest-point demap is invariant to column permutations, so the
+        # reference layout's ifftshift needs no undoing here.
+        ref = self._const[demap_symbols(rows, self.scheme)]
+        err = float(np.sum(np.abs(rows - ref) ** 2))
         refp = float(np.sum(np.abs(ref) ** 2))
         self._err_pow += err
         self._ref_pow += refp

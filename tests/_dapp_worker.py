@@ -73,6 +73,10 @@ def main() -> int:
             "--num-frames", str(k), "--shm-uid", uid,
             "--pilots", pilot_path, "--output", out_path,
             "--timeout", "60",
+            # dd-EVM on random (non-constellation) payloads is meaningless
+            # numerically; passing it here proves the metric path runs
+            # under --distributed (rank 0 prints the summary line).
+            "--link-quality", "qpsk",
         ])
         t.join(timeout=30)
         if errs:

@@ -120,3 +120,5 @@ def test_two_process_distributed_demod_app(tmp_path, fft, frame_len):
     for pid, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"proc {pid} failed:\n{out}"
     assert "app-distributed rel err vs golden" in outs[0]
+    assert "link quality (qpsk decision-directed EVM)" in outs[0]
+    assert "link quality" not in outs[1]          # rank 0 owns the metric

@@ -102,7 +102,9 @@ def test_soak_per_symbol_sharded_mesh(tmp_path):
     assert r.returncode == 0, r.stdout + r.stderr
     rec = json.loads(r.stdout.strip().splitlines()[-1])
     assert rec["pass"] and rec["clean_frames"] >= 2
-    assert rec["dirty_frames"] == 0
+    # (No dirty_frames assertion: per-symbol mode has no provenance index,
+    # so that counter is structurally 0 -- the EVM bound below is the real
+    # misalignment check, since a shifted frame decodes to noise.)
     assert rec["evm_clean_db"]["max"] <= -25.0
 
 

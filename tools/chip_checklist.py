@@ -165,9 +165,10 @@ def step_soak(out):
         return 1
     rec["seconds_wall"] = round(dt, 1)
     out["soak"] = rec
+    evm_max = (rec.get("evm_clean_db") or {}).get("max")
     print(f"[checklist] soak: {rec['clean_frames']} clean / "
           f"{rec['dirty_frames']} dirty, EVM max "
-          f"{rec['evm_clean_db']['max']:.1f} dB -> "
+          f"{'n/a' if evm_max is None else f'{evm_max:.1f} dB'} -> "
           f"{'PASS' if rec['pass'] else 'FAIL'}")
     return 0 if rec["pass"] else 1
 

@@ -36,7 +36,8 @@ python tools/scaling_bench.py --virtual 8 --reps 2 --r-hi 7 --batch 1 \
 echo "== SNR waterfall (theory cross-check, small sweep) =="
 python tools/waterfall.py --platform cpu --antennas 8 --fft 128 \
     --symbols 33 --cp 16 --num-taps 4 --snrs=0,10,20 --seeds 2 \
-    --pipelines golden,fast --out /tmp/WATERFALL_repro.json
+    --pipelines golden,fast --out /tmp/WATERFALL_repro.json \
+    --fail-above-db 0.5
 
 echo "== ring ingest benchmark =="
 python tools/ring_bench.py --batch --symbols 10100

@@ -182,6 +182,11 @@ def build_parser() -> argparse.ArgumentParser:
     ap.add_argument("--out", default=os.path.join(REPO, "WATERFALL.json"))
     ap.add_argument("--platform", default=None,
                     help="pin jax_platforms (e.g. cpu) before first use")
+    ap.add_argument("--fail-above-db", type=float, default=None,
+                    metavar="DB",
+                    help="exit nonzero when pipelines disagree by more than "
+                         "DB at any operating point (turns the sweep into a "
+                         "regression gate; repro.sh uses 0.5)")
     return ap
 
 
@@ -214,6 +219,12 @@ def main(argv=None) -> int:
                       "points": len(result["rows"]),
                       "pipelines_agree_db": result["pipelines_agree_db"],
                       "out": args.out}))
+    if (args.fail_above_db is not None
+            and result["pipelines_agree_db"] > args.fail_above_db):
+        print(f"[waterfall] FAIL: pipelines disagree by "
+              f"{result['pipelines_agree_db']} dB "
+              f"(> {args.fail_above_db})", file=sys.stderr)
+        return 1
     return 0
 
 
