@@ -210,6 +210,15 @@ def step_cache(out):
         out["cache"] = {"cold_s": round(times[0], 1),
                         "warm_s": round(times[1], 1),
                         "speedup": round(times[0] / max(times[1], 1e-9), 1)}
+        if times[1] >= times[0]:
+            # On the axon tunnel both legs are dominated by the REMOTE
+            # compile server's cache/congestion state, which a local
+            # persistent-cache hit cannot hide (docs/PERF.md r4
+            # compile-cache investigation) -- record the confound rather
+            # than reporting a meaningless "slowdown".
+            out["cache"]["note"] = ("warm >= cold: remote-compile-server "
+                                    "state dominated this measurement; "
+                                    "see docs/PERF.md")
     return 0
 
 
