@@ -364,17 +364,21 @@ def main(argv=None) -> int:
     emitted_rows = 0
     seq = 0             # delivered-frame ordinal (incl. dropped-dirty)
 
-    def index_record(status, nrows, wseq=-1):
+    def index_record(status, nrows, wseq=-1, evm=None):
         """One provenance line per delivered frame: delivered seq, status,
         the emitted row range in the output file (-1 -1 when not emitted),
         and the writer-stream frame ordinal (maps each block back to WHICH
         transmitted frame it came from across catch-up skips and overrun
-        drops; -1 when unknown)."""
+        drops; -1 when unknown).  Under --link-quality an optional sixth
+        column carries the frame's decision-directed EVM in dB, so
+        operators can locate WHICH delivered frame degraded (existing
+        consumers split by whitespace and ignore trailing columns)."""
         nonlocal emitted_rows, seq
         if index_f is not None:
             lo, hi = ((emitted_rows, emitted_rows + nrows) if nrows
                       else (-1, -1))
-            index_f.write(f"{seq} {status} {lo} {hi} {wseq}\n")
+            tail = "" if evm is None else f" {evm:.2f}"
+            index_f.write(f"{seq} {status} {lo} {hi} {wseq}{tail}\n")
             index_f.flush()
         emitted_rows += nrows
         seq += 1
@@ -385,8 +389,6 @@ def main(argv=None) -> int:
         nonlocal wrote_any
         append_output(args.output, arr, truncate=not wrote_any)
         wrote_any = True
-        if lq is not None:
-            lq.update(arr)
 
     def demod_batch(frames):
         import jax.numpy as jnp
@@ -415,13 +417,19 @@ def main(argv=None) -> int:
         lines come out in DELIVERY order -- recording a drop eagerly would
         give it a lower seq than clean frames delivered before it."""
         nonlocal batch
-        emit(demod_batch([f for f, _, _ in batch if f is not None]))
+        rows = demod_batch([f for f, _, _ in batch if f is not None])
+        emit(rows)
+        j = 0   # emitted-frame ordinal within this batch
         for fr, was_dirty, wseq in batch:
             if fr is None:
                 index_record("dropped-dirty", 0, wseq)
             else:
+                db = (lq.update(rows[j * rows_per_frame:
+                                     (j + 1) * rows_per_frame])
+                      if lq is not None else None)
                 index_record("dirty" if was_dirty else "clean",
-                             rows_per_frame, wseq)
+                             rows_per_frame, wseq, evm=db)
+                j += 1
         batch = []
 
     try:
@@ -469,8 +477,11 @@ def main(argv=None) -> int:
                     jax.block_until_ready(out.re)
             else:
                 out = rx.demod_frame(frame)
-            emit(out.to_numpy())
-            index_record("dirty" if dirty else "clean", rows_per_frame, wseq)
+            o = out.to_numpy()
+            emit(o)
+            db = lq.update(o) if lq is not None else None
+            index_record("dirty" if dirty else "clean", rows_per_frame, wseq,
+                         evm=db)
             n += 1
     except KeyboardInterrupt:
         print(f"SIGINT: stopping after {n} frame(s)")
@@ -480,8 +491,10 @@ def main(argv=None) -> int:
         if fr is None:
             index_record("dropped-dirty", 0, wseq)
             continue
-        emit(rx.demod_frame(fr).to_numpy())
-        index_record("dirty" if was_dirty else "clean", rows_per_frame, wseq)
+        o = rx.demod_frame(fr).to_numpy()
+        emit(o)
+        index_record("dirty" if was_dirty else "clean", rows_per_frame, wseq,
+                     evm=lq.update(o) if lq is not None else None)
     if dump_f is not None:
         dump_f.close()
     if index_f is not None:

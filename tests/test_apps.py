@@ -1091,7 +1091,7 @@ def test_link_quality_decision_directed_evm(workdir):
     dm = subprocess.Popen(
         [sys.executable, "-m", "ofdm_ls_mrc_tpu.apps.demod_app",
          "--shm-uid", uid, "--output", out, "--num-frames", "2",
-         "--link-quality", "16qam",
+         "--link-quality", "16qam", "--frame-index", out + ".index",
          "--pilots", str(workdir / "nonexistent_pilots.dat")] + common,
         cwd=REPO, env=ENV_BASE, stdout=subprocess.PIPE, stderr=subprocess.PIPE,
         text=True)
@@ -1116,6 +1116,16 @@ def test_link_quality_decision_directed_evm(workdir):
     # At this operating point hard decisions are error-free, so dd == true.
     assert abs(dd_evm - true_evm) < 1.0, (dd_evm, true_evm)
     assert worst >= dd_evm - 0.01
+
+    # Per-frame dd-EVM rides the provenance index as a sixth column, so a
+    # degraded frame is locatable; both frames sit near the overall number.
+    idx = [ln.split() for ln in open(out + ".index").read().splitlines()]
+    assert len(idx) == 2 and all(len(p) == 6 for p in idx), idx
+    per_frame = [float(p[5]) for p in idx]
+    # The printed worst is rounded to one decimal; the index keeps two.
+    assert max(per_frame) == pytest.approx(worst, abs=0.06)
+    for v in per_frame:
+        assert abs(v - dd_evm) < 1.5, (v, dd_evm)
 
 
 def test_link_quality_rejected_outside_whole_frame(workdir):
