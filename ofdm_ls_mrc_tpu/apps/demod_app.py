@@ -97,9 +97,11 @@ def build_parser() -> argparse.ArgumentParser:
                          "to the output (default <output>.index; 'none' "
                          "disables).  One line per delivered frame: "
                          "'<seq> <clean|dirty|dropped-dirty> <row_start> "
-                         "<row_end> <writer_seq>' -- row range into the "
-                         "output file (-1 -1 when not emitted) and the "
+                         "<row_end> <writer_seq> [<dd_evm_db>]' -- row range "
+                         "into the output file (-1 -1 when not emitted), the "
                          "writer-stream frame ordinal (-1 when unknown), "
+                         "and, under --link-quality, the frame's "
+                         "decision-directed EVM as a sixth column; "
                          "which maps each block back to the transmitted "
                          "frame across catch-up skips and overrun drops.  "
                          "Lets downstream consumers "
@@ -364,7 +366,7 @@ def main(argv=None) -> int:
     emitted_rows = 0
     seq = 0             # delivered-frame ordinal (incl. dropped-dirty)
 
-    def index_record(status, nrows, wseq=-1, evm=None):
+    def index_record(status, nrows, wseq=-1, rows=None):
         """One provenance line per delivered frame: delivered seq, status,
         the emitted row range in the output file (-1 -1 when not emitted),
         and the writer-stream frame ordinal (maps each block back to WHICH
@@ -374,6 +376,8 @@ def main(argv=None) -> int:
         operators can locate WHICH delivered frame degraded (existing
         consumers split by whitespace and ignore trailing columns)."""
         nonlocal emitted_rows, seq
+        evm = (lq.update(rows) if (lq is not None and rows is not None)
+               else None)
         if index_f is not None:
             lo, hi = ((emitted_rows, emitted_rows + nrows) if nrows
                       else (-1, -1))
@@ -424,11 +428,10 @@ def main(argv=None) -> int:
             if fr is None:
                 index_record("dropped-dirty", 0, wseq)
             else:
-                db = (lq.update(rows[j * rows_per_frame:
-                                     (j + 1) * rows_per_frame])
-                      if lq is not None else None)
                 index_record("dirty" if was_dirty else "clean",
-                             rows_per_frame, wseq, evm=db)
+                             rows_per_frame, wseq,
+                             rows=rows[j * rows_per_frame:
+                                       (j + 1) * rows_per_frame])
                 j += 1
         batch = []
 
@@ -479,9 +482,8 @@ def main(argv=None) -> int:
                 out = rx.demod_frame(frame)
             o = out.to_numpy()
             emit(o)
-            db = lq.update(o) if lq is not None else None
             index_record("dirty" if dirty else "clean", rows_per_frame, wseq,
-                         evm=db)
+                         rows=o)
             n += 1
     except KeyboardInterrupt:
         print(f"SIGINT: stopping after {n} frame(s)")
@@ -494,7 +496,7 @@ def main(argv=None) -> int:
         o = rx.demod_frame(fr).to_numpy()
         emit(o)
         index_record("dirty" if was_dirty else "clean", rows_per_frame, wseq,
-                     evm=lq.update(o) if lq is not None else None)
+                     rows=o)
     if dump_f is not None:
         dump_f.close()
     if index_f is not None:
