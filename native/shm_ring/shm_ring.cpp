@@ -515,6 +515,26 @@ int ring_read_frame(void* ring, float* re, float* im, int n, int cp,
   return RING_OK;
 }
 
+// Deinterleave one sc16 slot into planar int16 planes (no float convert),
+// CP dropped on the fly.  Shared by the batch and per-symbol i16 reads.
+static void copy_out_split_i16(Ring* r, int64_t seq, int16_t* re, int16_t* im,
+                               int cp) {
+  RingHeader* h = r->hdr;
+  const int rows = h->rows, cols = h->cols;
+  const int keep = cols - cp;
+  const char* base = slot_ptr(r, seq);
+  for (int i = 0; i < rows; ++i) {
+    const int16_t* row = reinterpret_cast<const int16_t*>(base) +
+                         (static_cast<size_t>(i) * cols + cp) * 2;
+    int16_t* rre = re + static_cast<size_t>(i) * keep;
+    int16_t* rim = im + static_cast<size_t>(i) * keep;
+    for (int j = 0; j < keep; ++j) {
+      rre[j] = row[2 * j];
+      rim[j] = row[2 * j + 1];
+    }
+  }
+}
+
 // sc16-native batch read: n consecutive symbols deinterleaved into planar
 // int16 planes WITHOUT the float conversion -- the zero-copy-fidelity feed
 // for device kernels that widen sc16 in VMEM (half the host and H2D bytes
@@ -526,9 +546,7 @@ int ring_read_frame_i16(void* ring, int16_t* re, int16_t* im, int n, int cp,
   RingHeader* h = r->hdr;
   if (h->fmt != FMT_SC16) return RING_BADARG;
   if (cp < 0 || cp >= h->cols) return RING_BADARG;
-  const int rows = h->rows, cols = h->cols;
-  const int keep = cols - cp;
-  const size_t plane = static_cast<size_t>(rows) * keep;
+  const size_t plane = static_cast<size_t>(h->rows) * (h->cols - cp);
 
   for (int k = 0; k < n; ++k) {
     int64_t tail = h->tail.load(std::memory_order_relaxed);
@@ -537,19 +555,56 @@ int ring_read_frame_i16(void* ring, int16_t* re, int16_t* im, int n, int cp,
     }, timeout_s);
     if (rc == RING_TIMEOUT && k > 0) return k;  // mid-frame: see ring_read_frame
     if (rc != RING_OK) return rc;
-    const char* base = slot_ptr(r, tail);
-    for (int i = 0; i < rows; ++i) {
-      const int16_t* row = reinterpret_cast<const int16_t*>(base) +
-                           (static_cast<size_t>(i) * cols + cp) * 2;
-      int16_t* rre = re + plane * k + static_cast<size_t>(i) * keep;
-      int16_t* rim = im + plane * k + static_cast<size_t>(i) * keep;
-      for (int j = 0; j < keep; ++j) {
-        rre[j] = row[2 * j];
-        rim[j] = row[2 * j + 1];
-      }
-    }
+    copy_out_split_i16(r, tail, re + plane * k, im + plane * k, cp);
     h->tail.store(tail + 1, std::memory_order_release);
   }
+  return RING_OK;
+}
+
+// sc16-native per-symbol read: the int16 twin of ring_read_next's planar
+// form -- one symbol deinterleaved into planar int16 planes with CP dropped,
+// no float conversion.  The per-symbol low-latency consumer feeds the fused
+// kernel int16 planes directly (half the per-dispatch input DMA of the f32
+// path; the reference per-symbol loop likewise moves the ring's native
+// element type untouched, ShMemSymBuff_cucomplex.hpp:256-257,356-393).
+int ring_read_next_i16(void* ring, int16_t* re, int16_t* im, int cp,
+                       double timeout_s) {
+  Ring* r = static_cast<Ring*>(ring);
+  if (!r || !re || !im) return RING_BADARG;
+  RingHeader* h = r->hdr;
+  if (h->fmt != FMT_SC16) return RING_BADARG;
+  if (cp < 0 || cp >= h->cols) return RING_BADARG;
+
+  int64_t tail = h->tail.load(std::memory_order_relaxed);
+  int rc = spin_until(r, [&] {
+    return h->head.load(std::memory_order_acquire) > tail;
+  }, timeout_s);
+  if (rc != RING_OK) return rc;
+
+  copy_out_split_i16(r, tail, re, im, cp);
+  h->tail.store(tail + 1, std::memory_order_release);
+  return RING_OK;
+}
+
+// sc16-native readLastSymbol (ShMemSymBuff.hpp:300-331 semantics): claim
+// everything up to head, deinterleave only the freshest slot as int16.
+int ring_read_last_i16(void* ring, int16_t* re, int16_t* im, int cp,
+                       double timeout_s) {
+  Ring* r = static_cast<Ring*>(ring);
+  if (!r || !re || !im) return RING_BADARG;
+  RingHeader* h = r->hdr;
+  if (h->fmt != FMT_SC16) return RING_BADARG;
+  if (cp < 0 || cp >= h->cols) return RING_BADARG;
+
+  int rc = spin_until(r, [&] {
+    return h->head.load(std::memory_order_acquire) >
+           h->tail.load(std::memory_order_relaxed);
+  }, timeout_s);
+  if (rc != RING_OK) return rc;
+
+  int64_t head = h->head.load(std::memory_order_acquire);
+  copy_out_split_i16(r, head - 1, re, im, cp);
+  h->tail.store(head, std::memory_order_release);
   return RING_OK;
 }
 

@@ -211,11 +211,9 @@ def main(argv=None) -> int:
         if args.ring_dtype != "sc16":
             print("--sc16-native requires --ring-dtype sc16", file=sys.stderr)
             return 2
-        if args.per_symbol:
-            print("--sc16-native is a whole-frame/bulk-read mode "
-                  "(not --per-symbol)", file=sys.stderr)
-            return 2
-        if args.pipeline != "fused":
+        if args.pipeline != "fused" and not args.per_symbol:
+            # Per-symbol bodies all widen int16 in-jit; the whole-frame
+            # bulk path specializes only a fused int16 entry.
             print("--sc16-native requires the fused pipeline", file=sys.stderr)
             return 2
 
@@ -231,7 +229,8 @@ def main(argv=None) -> int:
               "(not --per-symbol)", file=sys.stderr)
         return 2
     continuous = args.num_frames <= 0
-    timer = None if (args.no_timer or continuous or args.sc16_native
+    timer = None if (args.no_timer or continuous
+                     or (args.sc16_native and not args.per_symbol)
                      or (args.batch_frames > 1 and not args.per_symbol)
                      ) else PhaseTimer(
         num_slots=args.frame_len, num_times=args.num_frames)
@@ -703,7 +702,7 @@ def _run_per_symbol(args, cfg, pilot, ring, timer, continuous,
                   file=sys.stderr)
         sd = StreamingDemodulator(cfg, pilot, fft_impl=args.fft_impl,
                                   timer=timer, pipeline=pipeline)
-    sd.warmup()
+    sd.warmup(int16=args.sc16_native)
     import os
     if args.resume and os.path.exists(args.resume):
         idx = sd.resume(args.resume)
@@ -745,9 +744,17 @@ def _run_per_symbol(args, cfg, pilot, ring, timer, continuous,
                 # Data symbols honor readLastSymbol semantics under
                 # --catch-up (the reference GPU loop, gpuLS.cu:419-424);
                 # the pilot always reads in order to keep frame alignment.
-                read = (ring.read_last_planar
-                        if (args.catch_up and slot > 0)
-                        else ring.read_next_planar)
+                # sc16-native reads deliver planar INT16 straight off the
+                # wire format (half the per-dispatch input DMA; the kernels
+                # widen on device).
+                if args.sc16_native:
+                    read = (ring.read_last_planar_i16
+                            if (args.catch_up and slot > 0)
+                            else ring.read_next_planar_i16)
+                else:
+                    read = (ring.read_last_planar
+                            if (args.catch_up and slot > 0)
+                            else ring.read_next_planar)
                 if timer:
                     with timer.phase("read", slot):
                         re, im = read(cp=cp)
@@ -755,7 +762,13 @@ def _run_per_symbol(args, cfg, pilot, ring, timer, continuous,
                     re, im = read(cp=cp)
                 flush_pending()      # symbol k-1's wait, AFTER k's read
                 if dump_f is not None:
-                    (re + 1j * im).astype(np.complex64).tofile(dump_f)
+                    if re.dtype != np.float32:   # sc16 planes -> full scale
+                        from ..golden.io import SC16_FULL_SCALE
+                        (re.astype(np.float32) / SC16_FULL_SCALE
+                         + 1j * im.astype(np.float32) / SC16_FULL_SCALE
+                         ).astype(np.complex64).tofile(dump_f)
+                    else:
+                        (re + 1j * im).astype(np.complex64).tofile(dump_f)
                 sym = CArray(re, im)
                 if slot == 0:
                     sd.push_pilot(sym, slot=slot)

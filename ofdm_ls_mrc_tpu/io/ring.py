@@ -98,6 +98,11 @@ def _load() -> ctypes.CDLL:
         lib.ring_read_frame_i16.argtypes = [ctypes.c_void_p, i16ptr, i16ptr,
                                             ctypes.c_int, ctypes.c_int,
                                             ctypes.c_double]
+        for name in ("ring_read_next_i16", "ring_read_last_i16"):
+            fn = getattr(lib, name)
+            fn.restype = ctypes.c_int
+            fn.argtypes = [ctypes.c_void_p, i16ptr, i16ptr, ctypes.c_int,
+                           ctypes.c_double]
         lib.ring_skip.restype = ctypes.c_int
         lib.ring_skip.argtypes = [ctypes.c_void_p, ctypes.c_int]
         _lib = lib
@@ -363,6 +368,35 @@ class SymbolRing:
                          timeout: Optional[float] = None) -> Tuple[np.ndarray, np.ndarray]:
         out = self._read(self._lib.ring_read_last, cp, True, timeout)
         return out[0], out[1]
+
+    def _read_i16(self, fn, cp: int, timeout: Optional[float]):
+        if self.dtype != "sc16":
+            raise RingError(f"{fn.__name__} requires an sc16 ring")
+        keep = self.cols - cp
+        out = np.empty((2, self.rows, keep), dtype=np.int16)
+        p16 = ctypes.POINTER(ctypes.c_int16)
+        rc = fn(self._handle, out[0].ctypes.data_as(p16),
+                out[1].ctypes.data_as(p16), cp,
+                (self._timeout if timeout is None else timeout))
+        _check(rc, fn.__name__)
+        return out[0], out[1]
+
+    def read_next_planar_i16(self, cp: int = 0,
+                             timeout: Optional[float] = None
+                             ) -> Tuple[np.ndarray, np.ndarray]:
+        """sc16-native per-symbol read: (re, im) INT16 [rows, cols-cp], no
+        float conversion -- the half-input-DMA feed for the per-symbol
+        fused kernel (which widens sc16 in VMEM at ts=1).  Mirrors the
+        reference per-symbol loop moving the ring's native element type
+        untouched (ShMemSymBuff_cucomplex.hpp:256-257,356-393)."""
+        return self._read_i16(self._lib.ring_read_next_i16, cp, timeout)
+
+    def read_last_planar_i16(self, cp: int = 0,
+                             timeout: Optional[float] = None
+                             ) -> Tuple[np.ndarray, np.ndarray]:
+        """readLastSymbol semantics, sc16-native: the freshest symbol as
+        planar INT16, older backlog silently discarded."""
+        return self._read_i16(self._lib.ring_read_last_i16, cp, timeout)
 
     # -- lifecycle / observability ----------------------------------------------
     @property

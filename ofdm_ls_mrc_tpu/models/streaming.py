@@ -36,14 +36,21 @@ def _as_carray(x: SymbolLike) -> CArray:
 
 
 def _estimate_symbol_fn(pilot: CArray, x_full: CArray, *, cp: int, fft_impl: str):
+    from ..ops.fastpath import widen_sc16
+
     fft = fft_ops.get_fft(fft_impl)
-    return ls_ops.estimate_channel_full(fft(drop_cyclic_prefix(pilot, cp)), x_full)
+    pilot = widen_sc16(drop_cyclic_prefix(pilot, cp))   # int16 widens in-jit
+    return ls_ops.estimate_channel_full(fft(pilot), x_full)
 
 
 def _demod_symbol_fn(sym: CArray, hconj: CArray, hsqrd: jnp.ndarray,
                      *, cp: int, fft_impl: str) -> CArray:
+    from ..ops.fastpath import widen_sc16
+
     fft = fft_ops.get_fft(fft_impl)
-    yf = fft(drop_cyclic_prefix(sym, cp))          # [A, F]
+    # sc16-native symbols transfer as int16 (half the H2D bytes) and widen
+    # on device; float symbols pass through.
+    yf = fft(widen_sc16(drop_cyclic_prefix(sym, cp)))   # [A, F]
     eq = mrc_ops.mrc_combine(yf[None], hconj, hsqrd)
     return mrc_ops.finalize(eq)[0]                 # [F-1]
 
@@ -52,7 +59,8 @@ def _estimate_symbol_fused_fn(pilot: CArray, x_perm: CArray, *, cp: int):
     """LS estimate in fastpath permuted order (fused-kernel streaming mode)."""
     from ..ops import fastpath
 
-    yp = fastpath.fft_permuted(drop_cyclic_prefix(pilot, cp))
+    yp = fastpath.fft_permuted(
+        fastpath.widen_sc16(drop_cyclic_prefix(pilot, cp)))
     h, hsq = fastpath.ls_permuted(yp, x_perm)
     return h, 1.0 / hsq
 
@@ -209,9 +217,18 @@ class StreamingDemodulator:
             self._hconj, self._hsqrd = hconj, hsqrd
         return idx
 
-    def warmup(self) -> None:
+    def warmup(self, int16: bool = False) -> None:
+        """Compile the estimate+demod entries before the ring goes live.
+
+        ``int16=True`` warms the sc16-native traces (planar int16 input):
+        jit specializes per input dtype, so the sc16 per-symbol consumer
+        warms the trace it will actually run."""
         a, n = self.cfg.num_antennas, self.cfg.symbol_len
-        self.push_pilot(np.ones((a, n), np.complex64))
-        jax.block_until_ready(self.push_symbol(np.ones((a, n), np.complex64)).re)
+        if int16:
+            sym = CArray(np.ones((a, n), np.int16), np.zeros((a, n), np.int16))
+        else:
+            sym = np.ones((a, n), np.complex64)
+        self.push_pilot(sym)
+        jax.block_until_ready(self.push_symbol(sym).re)
         self._hconj = None
         self._hsqrd = None

@@ -40,7 +40,8 @@ from .mesh import ANT_AXIS
 
 def _est_local(pilot: CArray, x_full: CArray, *, cp: int, fft_impl: str):
     fft = fft_ops.get_fft(fft_impl)
-    yp = fft(drop_cyclic_prefix(pilot, cp))                 # [A_l, F]
+    # sc16-native shards arrive as int16 and widen in-jit (no-op on float).
+    yp = fft(fastpath.widen_sc16(drop_cyclic_prefix(pilot, cp)))  # [A_l, F]
     hconj, hsq_local = ls_ops.estimate_channel_full(yp, x_full)
     # DC bin is pinned to 1 per shard by estimate_channel_full; the psum
     # makes it n_shards -- still nonzero, and finalize slices it off.
@@ -50,7 +51,7 @@ def _est_local(pilot: CArray, x_full: CArray, *, cp: int, fft_impl: str):
 def _sym_local(sym: CArray, hconj: CArray, hsqrd: jnp.ndarray,
                *, cp: int, fft_impl: str) -> CArray:
     fft = fft_ops.get_fft(fft_impl)
-    yf = fft(drop_cyclic_prefix(sym, cp))                   # [A_l, F]
+    yf = fft(fastpath.widen_sc16(drop_cyclic_prefix(sym, cp)))  # [A_l, F]
     num = mrc_ops.mrc_numerator(yf[None], hconj)            # [1, F]
     num_re, num_im = jax.lax.psum((num.re, num.im), ANT_AXIS)
     eq = CArray(num_re, num_im).div_real(hsqrd[None, :])
@@ -60,14 +61,16 @@ def _sym_local(sym: CArray, hconj: CArray, hsqrd: jnp.ndarray,
 # -- fast bodies (permuted-order XLA pipeline) --------------------------------
 
 def _est_local_fast(pilot: CArray, x_perm: CArray, *, cp: int):
-    yp = fastpath.fft_permuted(drop_cyclic_prefix(pilot, cp))
+    yp = fastpath.fft_permuted(
+        fastpath.widen_sc16(drop_cyclic_prefix(pilot, cp)))
     h, hsq_local = fastpath.ls_permuted(yp, x_perm)
     return h, jax.lax.psum(hsq_local, ANT_AXIS)
 
 
 def _sym_local_fast(sym: CArray, h: CArray, hsqrd: jnp.ndarray,
                     *, cp: int) -> CArray:
-    yd = fastpath.fft_permuted(drop_cyclic_prefix(sym, cp))  # [A_l, F] perm
+    yd = fastpath.fft_permuted(
+        fastpath.widen_sc16(drop_cyclic_prefix(sym, cp)))    # [A_l, F] perm
     num_re_l = jnp.sum(yd.re * h.re + yd.im * h.im, axis=0)
     num_im_l = jnp.sum(yd.im * h.re - yd.re * h.im, axis=0)
     num_re, num_im = jax.lax.psum((num_re_l, num_im_l), ANT_AXIS)
@@ -214,13 +217,17 @@ class ShardedStreamingDemodulator:
             np.asarray(data_sym))
         return self._demod(c, self._hconj, self._hsqrd)
 
-    def warmup(self) -> None:
+    def warmup(self, int16: bool = False) -> None:
         """Compile both programs at the live shapes (the live-app warm-up;
-        the reference's one-time cuFFT plan warm-up, gpuLS_main.cu:94-97)."""
+        the reference's one-time cuFFT plan warm-up, gpuLS_main.cu:94-97).
+        ``int16=True`` warms the sc16-native (planar int16 input) traces."""
         a, n = self.cfg.num_antennas, self.cfg.symbol_len
-        self.push_pilot(np.ones((a, n), np.complex64))
-        jax.block_until_ready(
-            self.push_symbol(np.ones((a, n), np.complex64)).re)
+        if int16:
+            sym = CArray(np.ones((a, n), np.int16), np.zeros((a, n), np.int16))
+        else:
+            sym = np.ones((a, n), np.complex64)
+        self.push_pilot(sym)
+        jax.block_until_ready(self.push_symbol(sym).re)
         self._hconj = None
         self._hsqrd = None
 

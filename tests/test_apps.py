@@ -335,6 +335,60 @@ def test_per_symbol_mode_loopback(workdir):
         assert avg > 0.0, f"{row} average is zero in:\n{dm_out}"
 
 
+def test_per_symbol_sc16_native_loopback(workdir):
+    """--per-symbol --sc16-native: planar INT16 symbols flow ring -> device
+    per symbol (the sc16 wire format riding the low-latency path; the
+    reference per-symbol loop consumes the ring's native element type,
+    ShMemSymBuff_cucomplex.hpp:256-257,356-393).  EVM and the per-slot
+    timing table must hold like the float per-symbol mode."""
+    cap = str(workdir / "capture_sc16.dat")
+    sent = str(workdir / "sent.dat")
+    out = str(workdir / "Output_tpu.dat")
+    uid = f"/ofdm_app_{uuid.uuid4().hex[:8]}"
+    common = ["--antennas", str(A), "--fft-size", str(F),
+              "--cp-size", str(CP), "--frame-len", str(S)]
+
+    r = run(["ofdm_ls_mrc_tpu.apps.tx_app", "--out", cap, "--data-out", sent,
+             "--out-format", "sc16", "--pn-preamble", "--snr", "35",
+             "--channel-taps", "4",
+             "--pilots", str(workdir / "nonexistent_pilots.dat"),
+             "--pn-file", str(workdir / "nonexistent_pn.dat")] + common
+            + ["--num-frames", "2"])
+    assert r.returncode == 0, r.stderr
+
+    rx = subprocess.Popen(
+        [sys.executable, "-m", "ofdm_ls_mrc_tpu.apps.rx_app", "--file", cap,
+         "--file-format", "sc16", "--ring-dtype", "sc16", "--shm-uid", uid,
+         "--thres", "0.05", "--wait-writes",
+         "--pn-file", str(workdir / "nonexistent_pn.dat"),
+         "--num-frames", "2"] + common,
+        cwd=REPO, env=ENV_BASE, stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+        text=True)
+    dm = subprocess.Popen(
+        [sys.executable, "-m", "ofdm_ls_mrc_tpu.apps.demod_app",
+         "--shm-uid", uid, "--output", out, "--num-frames", "2",
+         "--per-symbol", "--ring-dtype", "sc16", "--sc16-native",
+         "--pipeline", "composed",
+         "--pilots", str(workdir / "nonexistent_pilots.dat")] + common,
+        cwd=REPO, env=ENV_BASE, stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+        text=True)
+    rx_out, rx_err = rx.communicate(timeout=300)
+    dm_out, dm_err = dm.communicate(timeout=300)
+    assert rx.returncode == 0, rx_err + rx_out
+    assert dm.returncode == 0, dm_err + dm_out
+    assert "per-symbol" in dm_out
+
+    got = np.fromfile(out, dtype=np.complex64).reshape(2 * (S - 1), F - 1)
+    want = np.fromfile(sent, dtype=np.complex64).reshape(2 * (S - 1), F - 1)
+    got_natural = np.fft.fftshift(got, axes=-1)
+    evm = 10 * np.log10(np.mean(np.abs(got_natural - want) ** 2)
+                        / np.mean(np.abs(want) ** 2))
+    assert evm < -25.0, f"EVM {evm:.1f} dB"
+    for row in ("Read:", "ChanEst:", "Decode:"):
+        line = next(ln for ln in dm_out.splitlines() if ln.startswith(row))
+        assert float(line.replace(row, "").split()[0]) > 0.0
+
+
 def test_continuous_sync_recovers_from_sample_slip(workdir):
     """tx_app --pn-every-frame -> capture corrupted with inserted samples ->
     rx_app --continuous-sync re-syncs mid-stream -> demod EVM holds for all
@@ -825,7 +879,7 @@ def test_per_symbol_one_deep_pipeline_order(workdir, monkeypatch):
     class _FakeSD:
         def __init__(self, *a, **kw):
             self.pipeline = "composed"
-        def warmup(self):
+        def warmup(self, int16=False):
             pass
         def push_pilot(self, sym, slot=0):
             events.append(("pilot", slot))

@@ -863,6 +863,49 @@ class TestSc16NativeRead:
         with pytest.raises(RingError):
             r.read_frame_planar_i16(1)
 
+    def test_int16_per_symbol_read_exact(self, sc16_pair, rng):
+        """read_next_planar_i16: one symbol's EXACT wire int16 planes with
+        CP dropped (the per-symbol low-latency sc16 feed; the reference
+        per-symbol loop moves the ring's native element type untouched,
+        ShMemSymBuff_cucomplex.hpp:256-257)."""
+        w, r = sc16_pair
+        iq = rng.integers(-32767, 32767, (3, ROWS, COLS, 2)).astype(np.int16)
+        for k in range(3):
+            w.write(np.ascontiguousarray(iq[k].reshape(ROWS, -1)))
+        for k in range(3):
+            re, im = r.read_next_planar_i16(cp=CP)
+            assert re.dtype == np.int16 and re.shape == (ROWS, COLS - CP)
+            np.testing.assert_array_equal(re, iq[k, :, CP:, 0])
+            np.testing.assert_array_equal(im, iq[k, :, CP:, 1])
+        assert r.available == 0
+
+    def test_int16_read_last_discards_backlog(self, sc16_pair, rng):
+        """read_last_planar_i16: readLastSymbol semantics
+        (ShMemSymBuff.hpp:300-331) -- freshest symbol as int16 planes,
+        older backlog silently consumed."""
+        w, r = sc16_pair
+        iq = rng.integers(-32767, 32767, (3, ROWS, COLS, 2)).astype(np.int16)
+        for k in range(3):
+            w.write(np.ascontiguousarray(iq[k].reshape(ROWS, -1)))
+        re, im = r.read_last_planar_i16(cp=CP)
+        np.testing.assert_array_equal(re, iq[2, :, CP:, 0])
+        np.testing.assert_array_equal(im, iq[2, :, CP:, 1])
+        assert r.available == 0
+
+    def test_per_symbol_i16_rejected_on_cf32_ring(self, pair):
+        from ofdm_ls_mrc_tpu.io.ring import RingError
+        _, r = pair
+        with pytest.raises(RingError):
+            r.read_next_planar_i16()
+        with pytest.raises(RingError):
+            r.read_last_planar_i16()
+
+    def test_per_symbol_i16_timeout(self, sc16_pair):
+        from ofdm_ls_mrc_tpu.io.ring import RingTimeout
+        _, r = sc16_pair
+        with pytest.raises(RingTimeout):
+            r.read_next_planar_i16(timeout=0.05)
+
 
 def test_real_ring_overrun_recovery(rng):
     """Property test against the REAL ring: a no-wait writer overruns a

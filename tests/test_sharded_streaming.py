@@ -72,6 +72,42 @@ def test_fused_body_matches_golden(rng, devices):
         assert err < 5e-4, err
 
 
+@pytest.mark.parametrize("pipeline", ["fast", "fused"])
+def test_int16_shards_match_quantized_golden(rng, devices, pipeline):
+    """sc16-native per-symbol shards: planar INT16 input widens on device
+    per shard; output must match the NumPy golden on the quantized symbols
+    (the sharded leg of the per-symbol sc16 feed, VERDICT r4 item 1)."""
+    from ofdm_ls_mrc_tpu.golden.io import SC16_FULL_SCALE, complex_to_sc16
+    from ofdm_ls_mrc_tpu.ops.cplx import CArray
+
+    fft = 256 if pipeline == "fused" else 64
+    cfg = FrameConfig(num_antennas=4, fft_size=fft, cyclic_prefix=0,
+                      frame_len=3)
+    pilot = np.exp(2j * np.pi * rng.random(cfg.num_subcarriers)
+                   ).astype(np.complex64)
+    frame = crandn(rng, (cfg.frame_len, cfg.num_antennas, cfg.symbol_len)) * 0.05
+
+    def planes(sym):
+        s = complex_to_sc16(sym)
+        re_p = np.ascontiguousarray(s[:, ::2])
+        im_p = np.ascontiguousarray(s[:, 1::2])
+        q = (re_p.astype(np.float32) + 1j * im_p.astype(np.float32)
+             ).astype(np.complex64) / SC16_FULL_SCALE
+        return CArray(re_p, im_p), q
+
+    ps = [planes(s) for s in frame]
+    want = dsp.demod_frame(np.stack([q for _, q in ps]), pilot, 0)
+    mesh = make_mesh(2, 1)
+    sd = ShardedStreamingDemodulator(cfg, pilot, mesh, pipeline=pipeline,
+                                     fft_impl="four_step")
+    assert sd.pipeline == pipeline
+    sd.warmup(int16=True)
+    sd.push_pilot(ps[0][0])
+    for i in range(1, cfg.frame_len):
+        got = sd.push_symbol(ps[i][0]).to_numpy()
+        np.testing.assert_allclose(got, want[i - 1], rtol=3e-3, atol=3e-3)
+
+
 def test_matches_unsharded_streaming(rng, devices):
     from ofdm_ls_mrc_tpu.models.streaming import StreamingDemodulator
 

@@ -66,6 +66,25 @@ def test_soak_per_symbol_consumer(tmp_path):
     assert rec["evm_clean_db"]["max"] <= -25.0
 
 
+def test_soak_per_symbol_sc16_native(tmp_path):
+    """The per-symbol consumer rides the sc16 wire format end to end:
+    planar INT16 per-symbol ring reads feed kernels that widen on device
+    (VERDICT r4 item 1's soak leg).  Default small geometry has no
+    (2^k,128) split, so the composed body widens in-jit."""
+    env = {**os.environ, "JAX_PLATFORMS": "cpu"}
+    r = subprocess.run(
+        [sys.executable, os.path.join(REPO, "tools", "soak.py"),
+         "--seconds", "8", "--min-frames", "2", "--num-frames", "1",
+         "--consumer", "per-symbol", "--ring-dtype", "sc16",
+         "--sc16-native", "--pipeline", "composed", "--dir", str(tmp_path)],
+        cwd=REPO, env=env, capture_output=True, text=True, timeout=280)
+    assert r.returncode == 0, r.stdout + r.stderr
+    rec = json.loads(r.stdout.strip().splitlines()[-1])
+    assert rec["pass"] and rec["clean_frames"] >= 2
+    assert rec["consumer"] == "per-symbol"
+    assert rec["evm_clean_db"]["max"] <= -25.0
+
+
 def test_soak_per_symbol_rejects_multi_frame():
     r = subprocess.run(
         [sys.executable, os.path.join(REPO, "tools", "soak.py"),

@@ -150,9 +150,10 @@ def main(argv=None) -> int:
               "has no provenance index; scoring needs one sent grid)",
               file=sys.stderr)
         return 2
-    if per_symbol and args.sc16_native:
-        print("--consumer per-symbol is a plain streaming mode "
-              "(no --sc16-native)", file=sys.stderr)
+    if args.sc16_native and args.ring_dtype != "sc16":
+        # per-symbol sc16-native is first-class (planar int16 per-symbol
+        # reads feed the fused ts=1 kernel); it just needs an sc16 ring.
+        print("--sc16-native requires --ring-dtype sc16", file=sys.stderr)
         return 2
     if per_symbol and args.mesh and args.mesh.lower().split("x")[-1] != "1":
         # demod_app gates this too; fail here before spawning processes.
