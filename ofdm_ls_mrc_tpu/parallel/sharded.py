@@ -315,22 +315,31 @@ class ShardedUplinkReceiver:
                     f"whole_blocks layout [{want_whole}, ...] for "
                     f"frame_len={self.cfg.frame_len}, "
                     f"time_shards={self._n_time}")
-            if self._demod_whole is not None and (
-                    self._n_time == 1 or c.shape[0] == want_whole):
-                # One dispatch instead of two eager pilot/data slices + the
-                # shard_map call: the pilot row slices in-shard.  On time-
-                # sharded meshes this branch takes the pilot-per-block
-                # layout (whole_blocks); plain [S, ...] frames keep the
-                # pre-split entry below.
+            if (self._demod_whole is not None and self._n_time > 1
+                    and c.shape[0] == want_whole):
+                # Pilot-per-block (whole_blocks) frames are a layout only
+                # the whole entry consumes -- time-sharded meshes place
+                # them so the time axis lands sharded.
                 return self._demod_whole(c, self.x_full)
+            # Plain [S, ...] frames take the pre-split entry: the hardware
+            # A/B measures it 6-7% FASTER than the whole entry (57.5 vs
+            # 61.3 us/frame sc16-exact 1x1, tools/ab_sharded.py r4+r5) --
+            # the in-shard-map pilot slice costs more than the two eager
+            # host slices -- and it is the entry BENCH_MODES.json ratchets
+            # (sharded_entry: "split").  demod_whole stays as the explicit
+            # opt-in for whole-placed flows.
             return self._demod4(c[0], c[1:], self.x_full)
         return self._demod(c[0], c[1:], self.x_full)
 
     def demod_whole(self, frame) -> CArray:
         """Kernel-native whole frame -> [S-1, F-1], pilot row sliced
-        in-shard (fused, cp=0).  Frames PLACED whole with the mesh sharding
-        need one transfer and keep the kernel's tile-0 pipelining -- the
-        sharded analogue of the unsharded bench's whole-frame form.
+        in-shard (fused, cp=0).  EXPLICIT OPT-IN: on ant-only meshes the
+        hardware A/B measures this entry 6-7% slower than the pre-split
+        default (tools/ab_sharded.py; docs/PERF.md), so ``demod_frame``
+        no longer routes plain frames here -- it exists for flows that
+        already hold a whole-placed frame (one transfer, e.g. the
+        distributed all-gather path) and for time-sharded whole_blocks
+        layouts, which only this entry consumes.
 
         time_shards == 1 takes the plain [S, A, n1, n2] frame; time-sharded
         meshes take the pilot-per-block layout [T + S-1, A, n1, n2]
@@ -372,8 +381,10 @@ class ShardedUplinkReceiver:
             demod3, demod4, demodw = self._demod, self._demod4, self._demod_whole
             whole_lead = self.cfg.frame_len + self._n_time - 1
 
+            n_time = self._n_time
+
             def capture(frs: CArray, xf) -> CArray:
-                if (frs.re.ndim == 5 and demodw is not None
+                if (frs.re.ndim == 5 and demodw is not None and n_time > 1
                         and frs.shape[1] == whole_lead):
                     # Whole-frame route (pilot sliced in-shard; on time-
                     # sharded meshes frames carry the whole_blocks layout).
