@@ -172,10 +172,6 @@ def main(argv=None) -> int:
                   f"(choices: {', '.join(sorted(CONSTELLATIONS))})",
                   file=sys.stderr)
             return 2
-        if args.per_symbol:
-            print("--link-quality is a whole-frame/batch mode "
-                  "(not --per-symbol)", file=sys.stderr)
-            return 2
 
     if args.distributed:
         return _run_distributed(args, cfg, pilot)
@@ -220,12 +216,11 @@ def main(argv=None) -> int:
     if args.batch_frames > 1 and args.per_symbol:
         print("note: --batch-frames has no effect in --per-symbol mode",
               file=sys.stderr)
-    if args.per_symbol and (args.drop_dirty
-                            or args.frame_index not in (None, "none")):
-        # Fail loud instead of silently skipping the provenance guarantees:
-        # dirty-frame tracking lives in the whole-frame RingFeed; the
-        # per-symbol loop reads symbol-at-a-time and never marks frames.
-        print("--drop-dirty/--frame-index are whole-frame provenance modes "
+    if args.per_symbol and args.drop_dirty:
+        # --drop-dirty is RingFeed machinery (best-effort frame exclusion
+        # under sustained overrun); the per-symbol loop's deliberate-loss
+        # mode is --catch-up, whose skips the index records as caught-up.
+        print("--drop-dirty is a whole-frame provenance mode "
               "(not --per-symbol)", file=sys.stderr)
         return 2
     continuous = args.num_frames <= 0
@@ -714,6 +709,45 @@ def _run_per_symbol(args, cfg, pilot, ring, timer, continuous,
     first_write = True
     dump_f = open(args.dump_symbols, "wb") if args.dump_symbols else None
 
+    # Live observability for the low-latency loop (VERDICT r4 Weak #6 /
+    # Next #6): decision-directed EVM over the emitted rows and a per-frame
+    # provenance line in the SAME index format as the whole-frame consumer.
+    # The writer-stream mapping rides the ring's consumed counter: the
+    # pilot's symbol ordinal c identifies writer frame c // frame_len, and
+    # a frame whose consumed span exceeds frame_len had catch-up skips
+    # (readLastSymbol deliberate loss, ShMemSymBuff.hpp:300-331) and is
+    # recorded as caught-up instead of clean.
+    lq = _LinkQuality(args.link_quality) if args.link_quality else None
+    index_path = (None if args.frame_index == "none"
+                  else (args.frame_index or args.output + ".index"))
+    index_f = open(index_path, "w") if index_path else None
+    rows_per_frame = args.frame_len - 1
+    cur_rows = []           # this frame's emitted rows (for lq + index)
+    frame_start_c = None    # ring.consumed at this frame's pilot read
+    emitted_rows = 0
+    seq = 0
+
+    def index_record(end_c):
+        """Emit the completed frame's index line + fold its rows into lq."""
+        nonlocal cur_rows, frame_start_c, emitted_rows, seq
+        if not cur_rows:
+            return
+        rows = np.stack(cur_rows)
+        evm = lq.update(rows) if lq is not None else None
+        if index_f is not None:
+            wseq = -1 if frame_start_c is None else frame_start_c // args.frame_len
+            span = None if (frame_start_c is None or end_c is None) \
+                else end_c - frame_start_c
+            status = ("clean" if span == args.frame_len else "caught-up")
+            lo = emitted_rows
+            tail = "" if evm is None else f" {evm:.2f}"
+            index_f.write(f"{seq} {status} {lo} {lo + len(cur_rows)} "
+                          f"{wseq}{tail}\n")
+            index_f.flush()
+        emitted_rows += len(cur_rows)
+        seq += 1
+        cur_rows = []
+
     # One-deep streaming pipeline: the demod of symbol k is DISPATCHED
     # (push_symbol_async) and left in flight while the ring read of symbol
     # k+1 proceeds; only then is k's output waited for and appended.  This
@@ -734,8 +768,11 @@ def _run_per_symbol(args, cfg, pilot, ring, timer, continuous,
             import jax as _jax
             with timer.phase("decode", pslot):
                 _jax.block_until_ready(out.re)
-        append_output(args.output, out.to_numpy(), truncate=first_write)
+        o = out.to_numpy()
+        append_output(args.output, o, truncate=first_write)
         first_write = False
+        if lq is not None or index_f is not None:
+            cur_rows.append(o)
 
     try:
         f = 0
@@ -755,12 +792,18 @@ def _run_per_symbol(args, cfg, pilot, ring, timer, continuous,
                     read = (ring.read_last_planar
                             if (args.catch_up and slot > 0)
                             else ring.read_next_planar)
+                c_now = ring.consumed if slot == 0 else None
                 if timer:
                     with timer.phase("read", slot):
                         re, im = read(cp=cp)
                 else:
                     re, im = read(cp=cp)
                 flush_pending()      # symbol k-1's wait, AFTER k's read
+                if slot == 0:
+                    # Previous frame fully flushed: emit its index line
+                    # (its consumed span ends where this pilot begins).
+                    index_record(c_now)
+                    frame_start_c = c_now
                 if dump_f is not None:
                     if re.dtype != np.float32:   # sc16 planes -> full scale
                         from ..golden.io import SC16_FULL_SCALE
@@ -786,9 +829,16 @@ def _run_per_symbol(args, cfg, pilot, ring, timer, continuous,
         print(f"ring ended ({type(e).__name__}) after {frames_done} frame(s), "
               f"{n_sym} symbols")
     flush_pending()
+    index_record(ring.consumed)
+    if index_f is not None:
+        index_f.close()
     if dump_f is not None:
         dump_f.close()
     print(f"demodulated {frames_done} frame(s) per-symbol -> {args.output}")
+    if lq is not None and lq.blocks:
+        print(f"link quality ({lq.scheme} decision-directed EVM): "
+              f"{lq.overall_db():.1f} dB overall, worst block "
+              f"{lq.worst_db:.1f} dB over {lq.blocks} block(s)")
     if timer:
         timer.print_times()
         if args.store_times:
