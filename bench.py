@@ -144,8 +144,13 @@ def bench_tpu(cfg, pilot, frames: np.ndarray, reps: int,
         raise SystemExit("--input sc16 requires the fused pipeline")
     if fused:
         from ofdm_ls_mrc_tpu.ops.pallas_pipeline import demod_frame_fused
+        # bf16 speed mode: stage-1 rides the MXU too ("g8x" -- the block-
+        # diagonal DFT dot), measured ~8% faster than g2 at bf16 where the
+        # VPU chain binds; exact keeps g2 (3x stage-1 MACs sink the
+        # MXU-bound exact kernel, docs/PERF.md r5).
         demod_xp = functools.partial(demod_frame_fused, cp=cfg.cyclic_prefix,
-                                     exact=exact, fuse_estimate=fuse_estimate)
+                                     exact=exact, fuse_estimate=fuse_estimate,
+                                     schedule=("g2" if exact else "g8x"))
         if cfg.cyclic_prefix == 0:
             # Place frames in the kernel's [.., n1, n2] layout (free on the
             # host) so the custom call needs no operand re-tiling copy.

@@ -85,6 +85,25 @@ def _stage2_consts(n2: int):
 
 
 @functools.lru_cache(maxsize=None)
+def _stage1_consts(a: int, n1: int):
+    """Stage-1-on-MXU constants: the n1-point DFT as a block-diagonal
+    [2*a*n1, a*n1] real matrix pair (bf16 hi/lo splits).
+
+    Rows [Mr; Mi] where M = I_A (x) D and D[r, s] = W_n1^{rev(r)*s} --
+    rows in BIT-REVERSED k1 order so the dot's output matches the VPU
+    butterfly network's layout exactly.  The block-diagonal embedding
+    wastes (a*n1)/n1 = a of the MACs on structural zeros, but in the bf16
+    speed mode the MXU idles ~12 us/frame while the VPU butterfly chain
+    binds (probe 6, docs/PERF.md) -- trading idle MXU MACs for the whole
+    stage-1 VPU chain is the point (VERDICT r4 item 2)."""
+    rev = _bitrev(n1)
+    d = np.exp(-2j * np.pi * np.outer(rev, np.arange(n1)) / n1)
+    m = np.kron(np.eye(a), d)                       # [a*n1, a*n1]
+    mcat = np.concatenate([m.real, m.imag], axis=0).astype(np.float32)
+    return _split_bf16_const(mcat)                  # each [2*a*n1, a*n1]
+
+
+@functools.lru_cache(maxsize=None)
 def _bitrev(n1: int) -> np.ndarray:
     """Bit-reversal permutation for a power-of-2 n1 (involution)."""
     bits = n1.bit_length() - 1
@@ -200,6 +219,104 @@ def _stage2_dots(bre, bim, wcat_hi, wcat_lo, n2: int, exact: bool = True):
     return xrwr - xiwi, xrwi + xiwr
 
 
+def _pilot_kernel(pre_ref, pim_ref, xre_ref, xim_ref, den_ref,
+                  twre_ref, twim_ref, *rest, a: int, n1: int, n2: int,
+                  exact: bool = True):
+    """One-dispatch pilot LS estimate in KERNEL (bitrev-k1) layout.
+
+    The XLA pilot path (fft_permuted + ls_permuted + the h/|h|^2 bitrev
+    gathers inside fused_pipeline) costs ~10 small device ops per frame
+    whose time is dominated by dispatch gaps, not math (r5 trace:
+    ~10.5 us of glue around a 24-25 us kernel).  This kernel computes the
+    same estimate -- stage-1 butterflies + twiddle + bf16-split stage-2
+    dots + the LS divide + |h|^2 reduce -- in ONE dispatch, and emits h
+    directly in the data kernel's own bitrev layout so the per-frame
+    reorder gathers disappear too.  Replaces the separate pilot program
+    of the reference's firstVector (gpuLS.cu:351-408) with one fused
+    dispatch.
+    """
+    n_tw_stages = max(n1.bit_length() - 2, 0)
+    stage_refs = rest[:2 * n_tw_stages]
+    wch_ref, wcl_ref, hre_ref, him_ref, inv_ref = rest[2 * n_tw_stages:]
+    consts = [(stage_refs[2 * i][:][None], stage_refs[2 * i + 1][:][None])
+              for i in range(n_tw_stages)]
+    twre, twim = twre_ref[:][None], twim_ref[:][None]
+
+    xr = pre_ref[:].astype(jnp.float32)
+    xi = pim_ref[:].astype(jnp.float32)
+    ar, ai = _dif_sublane(xr, xi, a, n1, n2, consts)
+    bre = (ar * twre - ai * twim).reshape(a * n1, n2)
+    bim = (ar * twim + ai * twre).reshape(a * n1, n2)
+    c2re, c2im = _stage2_dots(bre, bim, wch_ref[:], wcl_ref[:], n2,
+                              exact=exact)
+    pr = c2re.reshape(a, n1, n2)
+    pi = c2im.reshape(a, n1, n2)
+    xre = xre_ref[:][None]            # pilot reference, kernel order
+    xim = xim_ref[:][None]
+    den = den_ref[:][None]            # 1/|x|^2
+    h_r = (pr * xre + pi * xim) * den
+    h_i = (pi * xre - pr * xim) * den
+    hre_ref[:] = h_r
+    him_ref[:] = h_i
+    inv_ref[:] = 1.0 / jnp.sum(h_r * h_r + h_i * h_i, axis=0)
+
+
+def estimate_pilot_fused(pilot: CArray, x_full_perm: CArray, *,
+                         interpret=None, exact: bool = True):
+    """Pilot symbol [A, F] (or [A, n1, n2]; f32 or sc16 int16 planes) ->
+    (h [A, n1, n2], 1/sum|h|^2 [n1, n2]) in KERNEL bitrev layout, one
+    pallas dispatch.  Feed the outputs straight to fused_pipeline (3-D h
+    skips its reorder gathers)."""
+    interpret = _resolve_interpret(interpret)
+    if pilot.re.ndim == 3:
+        a, n1, n2 = pilot.shape
+        f = n1 * n2
+        if (n1, n2) != _fast_split(f):
+            raise ValueError(f"3D pilot split ({n1}, {n2}) != fast split "
+                             f"{_fast_split(f)}")
+    else:
+        a, f = pilot.shape
+        n1, n2 = _fast_split(f)
+    if not supports_fused(f):
+        raise ValueError(f"estimate_pilot_fused requires a (2^k, 128) "
+                         f"split, got F={f}")
+    pre = pilot.re.reshape(a, n1, n2)
+    pim = pilot.im.reshape(a, n1, n2)
+
+    br = _bitrev(n1)
+    xk_re = x_full_perm.re.reshape(n1, n2)[br, :]
+    xk_im = x_full_perm.im.reshape(n1, n2)[br, :]
+    den = 1.0 / (xk_re * xk_re + xk_im * xk_im)
+
+    tw = _twiddle(n1, n2, -1.0)[br]
+    if jnp.issubdtype(pre.dtype, jnp.integer):
+        from ..golden.io import SC16_FULL_SCALE
+        tw = tw / SC16_FULL_SCALE
+    twre = jnp.asarray(np.ascontiguousarray(tw.real), jnp.float32)
+    twim = jnp.asarray(np.ascontiguousarray(tw.imag), jnp.float32)
+    stage_tw = [jnp.asarray(np.broadcast_to(c[:, None], (n1, n2)).copy())
+                for pair in _dif_consts(n1) for c in pair]
+    consts = [jnp.asarray(np.asarray(c)) for c in _stage2_consts(n2)]
+
+    kernel = functools.partial(_pilot_kernel, a=a, n1=n1, n2=n2, exact=exact)
+    full = lambda shape: pl.BlockSpec(shape, lambda: tuple(0 for _ in shape),
+                                      memory_space=pltpu.VMEM)
+    hre, him, inv = pl.pallas_call(
+        kernel,
+        in_specs=[full((a, n1, n2)), full((a, n1, n2)),
+                  full((n1, n2)), full((n1, n2)), full((n1, n2)),
+                  full((n1, n2)), full((n1, n2)),
+                  *(full((n1, n2)) for _ in range(len(stage_tw))),
+                  full((n2, 2 * n2)), full((n2, 2 * n2))],
+        out_specs=(full((a, n1, n2)), full((a, n1, n2)), full((n1, n2))),
+        out_shape=(jax.ShapeDtypeStruct((a, n1, n2), jnp.float32),
+                   jax.ShapeDtypeStruct((a, n1, n2), jnp.float32),
+                   jax.ShapeDtypeStruct((n1, n2), jnp.float32)),
+        interpret=interpret,
+    )(pre, pim, xk_re, xk_im, den, twre, twim, *stage_tw, *consts)
+    return CArray(hre, him), inv
+
+
 def _kernel(yre_ref, yim_ref, hre_ref, him_ref, hsqinv_ref,
             twre_ref, twim_ref, *rest, ts: int, a: int, n1: int, n2: int,
             exact: bool = True, schedule: str = "block",
@@ -220,7 +337,16 @@ def _kernel(yre_ref, yim_ref, hre_ref, him_ref, hsqinv_ref,
     """
     n_tw_stages = max(n1.bit_length() - 2, 0)   # all radix-2 stages but span-1
     stage_refs = rest[:2 * n_tw_stages]
-    if fuse_est:
+    # gNx[f]: stage-1 rides the MXU as a block-diagonal DFT dot (two extra
+    # constant inputs follow wcl) -- see _stage1_consts / stage1_group_mxu.
+    s1x = schedule.startswith("g") and "x" in schedule[1:]
+    if s1x:
+        if fuse_est:
+            raise NotImplementedError("stage-1-on-MXU (gNx) does not "
+                                      "compose with fuse_estimate")
+        (wch_ref, wcl_ref, mh_ref, ml_ref,
+         outre_ref, outim_ref) = rest[2 * n_tw_stages:]
+    elif fuse_est:
         # In-kernel channel estimation (r3): the h inputs are replaced by
         # the pilot reference (xre, xim, 1/|x|^2, kernel order) and h lives
         # in VMEM scratch, written once at grid step 0 from the pilot row's
@@ -408,11 +534,20 @@ def _kernel(yre_ref, yim_ref, hre_ref, him_ref, hsqinv_ref,
     # kernel is dispatch-bound, not MAC-bound, at these shapes); a trailing
     # "f" ("gNf") additionally lane-concatenates [Wch | Wcl] into one
     # [n2, 4n2] RHS so hi products and the lo correction ride ONE dot
-    # (+1/3 MACs on the lo rows, half the dispatches).
+    # (+1/3 MACs on the lo rows, half the dispatches).  An "x" ("gNx",
+    # "gNxf") moves STAGE 1 onto the MXU too: the whole radix-2 butterfly
+    # chain becomes one block-diagonal [2M, M] x [M, 2N*n2] dot per group
+    # (plus the unavoidable per-element twiddle on the VPU) -- the bf16
+    # speed mode's VPU-chain-bound answer (probe 6; VERDICT r4 item 2).
     g, fuse = 1, False
     if schedule.startswith("g"):
-        fuse = schedule.endswith("f")
-        g = int(schedule[1:-1] if fuse else schedule[1:])
+        body = schedule[1:]
+        fuse = body.endswith("f")
+        if fuse:
+            body = body[:-1]
+        if body.endswith("x"):
+            body = body[:-1]
+        g = int(body)
     m = a * n1
     d = functools.partial(jnp.dot, preferred_element_type=jnp.float32)
 
@@ -456,10 +591,65 @@ def _kernel(yre_ref, yim_ref, hre_ref, him_ref, hsqinv_ref,
                 estimate_from(c2r, c2i)   # pilot row: refresh h scratch
             mrc_write(c2r, c2i, lo + j)
 
+    if s1x:
+        # Stage 1 as ONE MXU dot per group: lhs = [Mr; Mi] block-diagonal
+        # DFT constant (bf16 hi/lo), rhs = the group's symbols lane-
+        # concatenated [xr0 | xi0 | xr1 | xi1 | ...].  exact mode runs the
+        # three-product hi/lo expansion (Mh*Xhi + Mh*Xlo + Ml*Xhi); the
+        # bf16 speed mode runs Mh*Xhi alone.  Only the twiddle complex
+        # multiply (inherently per-(k1, i2) elementwise) stays on the VPU.
+        if yre_ref.dtype == jnp.float32:
+            def load_x(lo):
+                return (yre_ref[lo:lo + 1].reshape(m, n2),
+                        yim_ref[lo:lo + 1].reshape(m, n2))
+        elif exact:
+            # int16 widens whole-tile like load(); reuse its f32 planes.
+            def load_x(lo):
+                return (yre_all[lo:lo + 1].reshape(m, n2),
+                        yim_all[lo:lo + 1].reshape(m, n2))
+        else:
+            # bf16 speed mode: int16 -> bf16 DIRECTLY, whole-tile -- the
+            # f32 widen never happens (the dot is the first consumer and
+            # it takes bf16; the sample scale rides the twiddles).
+            yre_b = yre_ref[:].astype(jnp.bfloat16)
+            yim_b = yim_ref[:].astype(jnp.bfloat16)
+
+            def load_x(lo):
+                return (yre_b[lo:lo + 1].reshape(m, n2),
+                        yim_b[lo:lo + 1].reshape(m, n2))
+
+        def stage1_group_mxu(ks):
+            xs = [p for k in ks for p in load_x(k)]   # 2*len(ks) [m, n2]
+            gg = len(ks)
+            if exact:
+                his, los = zip(*(_split_bf16(x) for x in xs))
+                xcat = jnp.concatenate(list(his) + list(los), axis=1)
+                p = d(mh_ref[:], xcat)                # Mh*Xhi | Mh*Xlo
+                q = d(ml_ref[:], xcat[:, :2 * gg * n2])   # Ml*Xhi
+                s = p[:, :2 * gg * n2] + p[:, 2 * gg * n2:] + q
+            else:
+                xcat = jnp.concatenate(
+                    [x.astype(jnp.bfloat16) for x in xs], axis=1)
+                s = d(mh_ref[:], xcat)                # [2m, 2*gg*n2]
+            out = []
+            for j in range(gg):
+                rr = s[:m, 2 * j * n2:(2 * j + 1) * n2]
+                ri = s[:m, (2 * j + 1) * n2:(2 * j + 2) * n2]
+                ir = s[m:, 2 * j * n2:(2 * j + 1) * n2]
+                ii = s[m:, (2 * j + 1) * n2:(2 * j + 2) * n2]
+                ar = (rr - ii).reshape(a, n1, n2)
+                ai = (ri + ir).reshape(a, n1, n2)
+                out.append(s1_finish(ar, ai))         # twiddle (VPU)
+            return out
+
+        stage1_fn = stage1_group_mxu
+    else:
+        stage1_fn = lambda ks: [stage1(k) for k in ks]
+
     groups = [list(range(i, min(i + g, ts))) for i in range(0, ts, g)]
-    b_prev = [stage1(k) for k in groups[0]]
+    b_prev = stage1_fn(groups[0])
     for gi in range(1, len(groups)):
-        b_next = [stage1(k) for k in groups[gi]]    # VPU chain of next group
+        b_next = stage1_fn(groups[gi])              # next group's stage 1
         stage2_group(b_prev, groups[gi - 1][0])     # MXU chain of previous
         b_prev = b_next
     stage2_group(b_prev, groups[-1][0])
@@ -617,12 +807,20 @@ def fused_pipeline(y: CArray, hre: jnp.ndarray, him: jnp.ndarray,
 
     # Reorder the channel/normalizer/twiddle rows from natural k1 to the
     # kernel's bit-reversed k1 (tiny one-time gathers outside the kernel).
+    # 3-D h ([A, n1, n2] + [n1, n2] hsqinv) is ALREADY in kernel layout
+    # (estimate_pilot_fused emits it) and skips the gathers entirely.
     br = _bitrev(n1)
     if fuse_estimate:
         # h inputs carry the [F] pilot reference (x.re, x.im, 1/|x|^2).
         h_re = hre.reshape(n1, n2)[br, :]
         h_im = him.reshape(n1, n2)[br, :]
         hsq = hsqinv.reshape(n1, n2)[br, :]
+    elif hre.ndim == 3:
+        if hre.shape != (a, n1, n2) or hsqinv.shape != (n1, n2):
+            raise ValueError(f"kernel-layout h must be [{a}, {n1}, {n2}] "
+                             f"with [{n1}, {n2}] hsqinv; got {hre.shape} / "
+                             f"{hsqinv.shape}")
+        h_re, h_im, hsq = hre, him, hsqinv
     else:
         h_re = hre.reshape(a, n1, n2)[:, br, :]
         h_im = him.reshape(a, n1, n2)[:, br, :]
@@ -641,6 +839,15 @@ def fused_pipeline(y: CArray, hre: jnp.ndarray, him: jnp.ndarray,
     stage_tw = [jnp.asarray(np.broadcast_to(c[:, None], (n1, n2)).copy())
                 for pair in _dif_consts(n1) for c in pair]
     consts = [jnp.asarray(np.asarray(c)) for c in _stage2_consts(n2)]
+
+    # gNx schedules append the stage-1 block-diagonal DFT constants.
+    s1x = schedule.startswith("g") and "x" in schedule[1:]
+    s1_ops, s1_specs = [], []
+    if s1x:
+        # (The sc16 full-scale factor rides the twiddles, which apply AFTER
+        # the stage-1 dot -- nothing extra to fold into M.)
+        mh, ml = _stage1_consts(a, n1)
+        s1_ops = [jnp.asarray(mh), jnp.asarray(ml)]
 
     grid = ((s + ts - 1) // ts,)
     kernel = functools.partial(_kernel, ts=ts, a=a, n1=n1, n2=n2, exact=exact,
@@ -665,6 +872,7 @@ def fused_pipeline(y: CArray, hre: jnp.ndarray, him: jnp.ndarray,
             kwargs["compiler_params"] = pltpu.CompilerParams(
                 dimension_semantics=("arbitrary",))
 
+    am = a * n1
     out_re, out_im = pl.pallas_call(
         kernel,
         grid=grid,
@@ -672,7 +880,8 @@ def fused_pipeline(y: CArray, hre: jnp.ndarray, him: jnp.ndarray,
                   full(h_shape), full(h_shape), full((n1, n2)),
                   full((n1, n2)), full((n1, n2)),
                   *(full((n1, n2)) for _ in range(len(stage_tw))),
-                  full((n2, 2 * n2)), full((n2, 2 * n2))],
+                  full((n2, 2 * n2)), full((n2, 2 * n2)),
+                  *(full((2 * am, am)) for _ in s1_ops)],
         out_specs=(out_spec, out_spec),
         out_shape=(jax.ShapeDtypeStruct((s, n1, n2), jnp.float32),
                    jax.ShapeDtypeStruct((s, n1, n2), jnp.float32)),
@@ -683,7 +892,7 @@ def fused_pipeline(y: CArray, hre: jnp.ndarray, him: jnp.ndarray,
             transcendentals=0,
         ),
         **kwargs,
-    )(yre, yim, h_re, h_im, hsq, twre, twim, *stage_tw, *consts)
+    )(yre, yim, h_re, h_im, hsq, twre, twim, *stage_tw, *consts, *s1_ops)
 
     return CArray(out_re.reshape(s, f), out_im.reshape(s, f))
 
@@ -709,15 +918,15 @@ def demod_parts_fused(pilot: CArray, data: CArray, x_full_perm: CArray, *,
 
     Returns [S-1, F-1] in reference layout.
     """
-    from . import fastpath
-
     if data.re.ndim == 4:
         f = data.shape[-2] * data.shape[-1]
     else:
         f = data.shape[-1]
-    p = fastpath.fft_permuted(fastpath.widen_sc16(pilot))   # [A, F]
-    h, hsq = fastpath.ls_permuted(p, x_full_perm)
-    eq = fused_pipeline(data, h.re, h.im, 1.0 / hsq, ts=ts,
+    # One-dispatch pilot estimate in kernel layout (same numerics as
+    # demod_frame_fused's default pilot_path="kernel").
+    h3, inv_k = estimate_pilot_fused(pilot, x_full_perm,
+                                     interpret=interpret, exact=exact)
+    eq = fused_pipeline(data, h3.re, h3.im, inv_k, ts=ts,
                         interpret=interpret, exact=exact, schedule=schedule)
     return to_reference_order(eq, f)
 
@@ -725,7 +934,8 @@ def demod_parts_fused(pilot: CArray, data: CArray, x_full_perm: CArray, *,
 def demod_frame_fused(frame: CArray, x_full_perm: CArray, *, cp: int,
                       ts: int | None = None, interpret=None,
                       exact: bool = True, schedule: str = "g2",
-                      fuse_estimate: bool = False) -> CArray:
+                      fuse_estimate: bool = False,
+                      pilot_path: str = "kernel") -> CArray:
     """Drop-in for fastpath.demod_frame_fast backed by the fused kernel.
 
     Args:
@@ -740,6 +950,14 @@ def demod_frame_fused(frame: CArray, x_full_perm: CArray, *, cp: int,
                    one fewer program stage, fewer dispatches, no pilot-row
                    widen for sc16 frames.  Same fp32-grade numerics (the
                    in-kernel pilot FFT uses the same bf16-split dots).
+                   (Measured slower than the default: scratch h re-reads
+                   defeat Mosaic's input-ref caching; docs/PERF.md.)
+      pilot_path:  "kernel" (default): the pilot estimate runs as ONE
+                   pallas dispatch emitting h in the data kernel's own
+                   bitrev layout (estimate_pilot_fused) -- replaces ~10
+                   small XLA ops of pilot path + reorder gathers whose
+                   cost was dispatch gaps, not math.  "xla": the original
+                   fft_permuted + ls_permuted route (kept for A/B).
 
     Returns:
       [S-1, F-1] planar demod output in reference layout (DC dropped,
@@ -753,8 +971,12 @@ def demod_frame_fused(frame: CArray, x_full_perm: CArray, *, cp: int,
         y = frame
         f = y.shape[-2] * y.shape[-1]
         a = y.shape[1]
-        pilot_3d = None if fuse_estimate else CArray(
-            y.re[0].reshape(a, f), y.im[0].reshape(a, f))
+        if fuse_estimate:
+            pilot_3d = None
+        elif pilot_path == "kernel":
+            pilot_3d = y[0]      # [A, n1, n2]: already the kernel layout
+        else:
+            pilot_3d = CArray(y.re[0].reshape(a, f), y.im[0].reshape(a, f))
     else:
         y = frame if cp == 0 else frame[..., cp:]
         f = y.shape[-1]
@@ -767,11 +989,20 @@ def demod_frame_fused(frame: CArray, x_full_perm: CArray, *, cp: int,
                             schedule=schedule, fuse_estimate=True)
         return to_reference_order(eq, f)[1:]
 
-    # Pilot symbol: one-off XLA FFT; LS estimate in permuted order (the
-    # data rows of sc16-native frames convert in-kernel; see fused_pipeline).
-    p = fastpath.fft_permuted(fastpath.widen_sc16(pilot_3d))  # [A, F]
-    h, hsq = fastpath.ls_permuted(p, x_full_perm)
-    hre, him, hsqinv = h.re, h.im, 1.0 / hsq
+    if pilot_path == "kernel":
+        # One-dispatch pilot estimate straight into the kernel layout
+        # (sc16 pilots stay int16 into the dispatch; scale rides its
+        # twiddles exactly like the data kernel's).
+        h3, inv_k = estimate_pilot_fused(pilot_3d, x_full_perm,
+                                         interpret=interpret, exact=exact)
+        hre, him, hsqinv = h3.re, h3.im, inv_k
+    else:
+        # Pilot symbol: one-off XLA FFT; LS estimate in permuted order (the
+        # data rows of sc16-native frames convert in-kernel; see
+        # fused_pipeline).
+        p = fastpath.fft_permuted(fastpath.widen_sc16(pilot_3d))  # [A, F]
+        h, hsq = fastpath.ls_permuted(p, x_full_perm)
+        hre, him, hsqinv = h.re, h.im, 1.0 / hsq
 
     # The kernel runs over ALL S symbols, pilot row included: slicing the
     # data rows first (y[1:]) would copy the whole ~13 MB frame in HBM
