@@ -523,31 +523,40 @@ def _run_distributed(args, cfg, pilot) -> int:
     symbols (all frame slots) from its OWN local ring -- BASELINE config 5's
     64-antenna split, the app-level twin of tests/_mh_worker.py leg 3.  The
     fused MRC psum ((2*S_data+1)*F fp32 words/frame) is the only
-    cross-process traffic (parallel/multihost.py)."""
+    cross-process frame traffic (parallel/multihost.py).
+
+    Production grade (VERDICT r4 Missing #2 / Next #4): each host runs the
+    SAME RingFeed machinery as the single-host consumer (reader-thread
+    overlap, overrun resync, dirty provenance, catch-up, sc16-native int16
+    shards, continuous --num-frames 0), plus a per-frame LOCKSTEP
+    agreement: hosts exchange (writer_seq, dirty, end) in a tiny allgather
+    and laggards skip forward until every host holds the SAME writer frame
+    -- without it, independent per-host drops would silently MRC-combine
+    different transmitted frames.  Rank 0 writes the merged provenance
+    index (dirty if ANY host's shard was best-effort)."""
     import jax
 
     from ..golden.io import append_output
     from ..io.ring import SymbolRing
     from ..parallel import ShardedUplinkReceiver
-    from ..parallel.multihost import (
-        global_from_antenna_blocks,
-        initialize,
-        make_multihost_mesh,
-    )
+    from ..parallel.multihost import initialize, make_multihost_mesh
 
-    if args.per_symbol or args.mesh or args.sc16_native:
-        print("--distributed is a whole-frame float mode (not --per-symbol/"
-              "--mesh/--sc16-native)", file=sys.stderr)
+    if args.per_symbol or args.mesh:
+        print("--distributed is a whole-frame mode (not --per-symbol/"
+              "--mesh)", file=sys.stderr)
         return 2
-    if args.drop_dirty or args.frame_index not in (None, "none"):
-        print("--drop-dirty/--frame-index are not supported under "
-              "--distributed (per-host feeds would need a merged index)",
-              file=sys.stderr)
+    if args.sc16_native and args.ring_dtype != "sc16":
+        # main() routes here before its own sc16 validation block.
+        print("--sc16-native requires --ring-dtype sc16", file=sys.stderr)
         return 2
-    if args.num_frames <= 0:
-        print("--distributed needs a bounded --num-frames", file=sys.stderr)
+    if args.drop_dirty:
+        print("--drop-dirty is not supported under --distributed "
+              "(the merged index records dirty frames; excluding them "
+              "would desync rank-0 row accounting)", file=sys.stderr)
         return 2
+    continuous = args.num_frames <= 0
     initialize(args.distributed, args.num_processes, args.process_id)
+    from jax.experimental import multihost_utils
     nproc = jax.process_count()
     pid = jax.process_index()
     if cfg.num_antennas % nproc:
@@ -559,27 +568,59 @@ def _run_distributed(args, cfg, pilot) -> int:
     # else one shard per process; time stays unsharded so the output is
     # replicated and the whole-frame in-shard-pilot entry applies.
     ndev = jax.device_count()
-    ant_shards = ndev if cfg.num_antennas % ndev == 0 else nproc
-    mesh = make_multihost_mesh(ant_shards=ant_shards, time_shards=1)
+    if cfg.num_antennas % ndev == 0:
+        mesh = make_multihost_mesh(ant_shards=ndev, time_shards=1)
+    else:
+        # One antenna shard PER PROCESS: the mesh must span every process
+        # (each contributes its local block), so take each process's first
+        # device -- jax.devices()[:nproc] can land entirely on process 0
+        # when processes carry several virtual devices.
+        from jax.sharding import Mesh as _Mesh
+
+        from ..parallel.mesh import ANT_AXIS as _A, TIME_AXIS as _T
+        by_proc = {}
+        for d in jax.devices():
+            by_proc.setdefault(d.process_index, d)
+        mesh = _Mesh(np.array([by_proc[i] for i in range(nproc)]
+                              ).reshape(nproc, 1), (_A, _T))
     rx = ShardedUplinkReceiver(cfg, pilot, mesh, fft_impl=args.fft_impl,
                                pipeline=args.pipeline,
                                exact=(args.kernel_precision == "exact"))
+    if args.sc16_native and rx.pipeline != "fused":
+        print("--sc16-native requires the fused pipeline", file=sys.stderr)
+        return 2
+
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from ..ops.cplx import CArray
+    from ..parallel.mesh import ANT_AXIS
 
     shape4 = None
     if rx.pipeline == "fused":
         from ..ops.pallas_pipeline import fused_frame_shape
         shape4 = fused_frame_shape(cfg.frame_len, a_local, cfg.fft_size)
+        gspec = P(None, ANT_AXIS, None, None)
+    else:
+        gspec = P(None, ANT_AXIS, None)
+    gsh = NamedSharding(mesh, gspec)
+
+    def put_fn(re_h, im_h):
+        """Host-local planar block -> global antenna-sharded frame (no
+        cross-host data movement; int16 planes stay int16)."""
+        gre = jax.make_array_from_process_local_data(gsh, re_h)
+        gim = jax.make_array_from_process_local_data(gsh, im_h)
+        return CArray(gre, gim)
 
     if shape4 is not None:
-        def demod(re_h, im_h):
-            block = (re_h + 1j * im_h).astype(np.complex64).reshape(shape4)
-            return rx.demod_whole(global_from_antenna_blocks(block, mesh))
+        demod = rx.demod_whole          # whole-placed global frame
     else:
-        def demod(re_h, im_h):
-            block = (re_h + 1j * im_h).astype(np.complex64)
-            gp = global_from_antenna_blocks(block[0], mesh, ant_axis=0)
-            gd = global_from_antenna_blocks(block[1:], mesh)
-            return rx.demod_pilot_data(gp, gd)
+        # Slice pilot/data INSIDE one jit: eager indexing of a
+        # multi-process global array is not addressable host-side.
+        demod3 = rx._demod
+
+        @jax.jit
+        def demod(c):
+            return demod3(c[0], c[1:], rx.x_full)
 
     def to_host(out):
         # time_shards == 1 => the output is replicated on every device.
@@ -587,33 +628,98 @@ def _run_distributed(args, cfg, pilot) -> int:
                 + 1j * np.asarray(out.im.addressable_shards[0].data)
                 ).astype(np.complex64)
 
-    # Warm at the live shape BEFORE touching the ring, so the first frame
-    # doesn't stall the producer on a compile.
-    zshape = (cfg.frame_len, a_local, cfg.fft_size)
+    # Warm at the live shape + dtype BEFORE touching the ring, so the first
+    # frame doesn't stall the producer on a compile.
+    feed_dtype = np.int16 if args.sc16_native else np.float32
+    zshape = shape4 or (cfg.frame_len, a_local, cfg.fft_size)
     jax.block_until_ready(
-        demod(np.zeros(zshape, np.float32), np.zeros(zshape, np.float32)).re)
+        demod(put_fn(np.zeros(zshape, feed_dtype),
+                     np.zeros(zshape, feed_dtype))).re)
 
     ring = SymbolRing(args.shm_uid, a_local, args.fft_size + args.cp_size,
                       cfg.frame_len, master=False, timeout=args.timeout,
                       dtype=args.ring_dtype)
+    # The per-host feed sees LOCAL geometry (this host's antenna shard).
+    from ..config import FrameConfig as _FC
+    cfg_local = _FC(num_antennas=a_local, fft_size=cfg.fft_size,
+                    cyclic_prefix=0, frame_len=cfg.frame_len)
+    feed = _make_feed(ring, cfg_local, args.cp_size, None,
+                      catch_up=args.catch_up, device_shape=shape4,
+                      int16=args.sc16_native, put_fn=put_fn)
+    gen = feed.frames()
+
+    def next_frame():
+        try:
+            fr = next(gen)
+            return fr, int(feed.last_frame_writer_seq), feed.last_frame_dirty
+        except StopIteration:
+            return None, -1, False
+
     lq = (_LinkQuality(args.link_quality)
           if (args.link_quality and pid == 0) else None)
+    index_path = (None if args.frame_index == "none"
+                  else (args.frame_index or args.output + ".index"))
+    index_f = (open(index_path, "w")
+               if (index_path and pid == 0) else None)
     rows = 0
+    k = 0
+    skipped = 0
     try:
-        for k in range(args.num_frames):
-            re_h, im_h = ring.read_frame_planar(cfg.frame_len,
-                                                cp=args.cp_size)
-            o = to_host(demod(re_h, im_h))
+        fr, wseq, dirty = next_frame()
+        while continuous or k < args.num_frames:
+            # Lockstep agreement: everyone contributes (wseq|-2, dirty);
+            # laggards advance to the max writer seq; any END (-2) ends
+            # the run everywhere (all hosts make the SAME number of
+            # collective calls per round -- no deadlock).
+            while True:
+                g = multihost_utils.process_allgather(
+                    np.array([wseq if fr is not None else -2,
+                              1 if dirty else 0], np.int64))
+                g = g.reshape(-1, 2)
+                if (g[:, 0] == -2).any():
+                    fr = None
+                    break
+                tgt = int(g[:, 0].max())
+                if (g[:, 0] == tgt).all():
+                    dirty = bool(g[:, 1].any())
+                    break
+                while fr is not None and wseq < tgt:
+                    fr, wseq, dirty = next_frame()
+                    skipped += 1
+            if fr is None:
+                break
+            o = to_host(demod(fr))
             if pid == 0:
                 append_output(args.output, o, truncate=(k == 0))
-                if lq is not None:
-                    lq.update(o)
+                evm = lq.update(o) if lq is not None else None
+                if index_f is not None:
+                    status = "dirty" if dirty else "clean"
+                    tail = "" if evm is None else f" {evm:.2f}"
+                    index_f.write(f"{k} {status} {rows} "
+                                  f"{rows + o.shape[0]} {wseq}{tail}\n")
+                    index_f.flush()
             rows += o.shape[0]
+            k += 1
+            fr, wseq, dirty = next_frame()
+    except KeyboardInterrupt:
+        print(f"[proc {pid}] SIGINT: stopping after {k} frame(s)",
+              file=sys.stderr)
     finally:
+        feed.stop()
         ring.close()
-    print(f"[proc {pid}] demodulated {rows} data symbols across {nproc} "
-          f"processes x {a_local} antennas ({rx.pipeline} pipeline)",
+        if index_f is not None:
+            index_f.close()
+    print(f"[proc {pid}] demodulated {rows} data symbols over {k} frame(s) "
+          f"across {nproc} processes x {a_local} antennas "
+          f"({rx.pipeline} pipeline"
+          + (", sc16-native" if args.sc16_native else "")
+          + (f", {skipped} frame(s) skipped in lockstep catch-up"
+             if skipped else "") + ")",
           file=sys.stderr)
+    if feed.drop_events:
+        print(f"[proc {pid}] writer overruns: {feed.drop_events} event(s), "
+              f"{feed.resynced_frames} boundary resync(s), "
+              f"{feed.dirty_frames} best-effort frame(s)", file=sys.stderr)
     if lq is not None and lq.blocks:
         print(f"link quality ({lq.scheme} decision-directed EVM): "
               f"{lq.overall_db():.1f} dB overall, worst block "

@@ -84,9 +84,12 @@ def test_four_process_distributed_demod():
         assert "antenna-sharded whole-frame rel err" in out
 
 
-@pytest.mark.parametrize("fft,frame_len", [(64, 9), (1024, 3)],
-                         ids=["fast-presplit", "fused-whole"])
-def test_two_process_distributed_demod_app(tmp_path, fft, frame_len):
+@pytest.mark.parametrize("fft,frame_len,extra",
+                         [(64, 9, {}), (1024, 3, {}),
+                          (1024, 3, {"DAPP_SC16": "1", "DAPP_CONT": "1"})],
+                         ids=["fast-presplit", "fused-whole",
+                              "fused-sc16-continuous"])
+def test_two_process_distributed_demod_app(tmp_path, fft, frame_len, extra):
     """The real demod_app CLI in --distributed mode: each process feeds its
     own ring with ITS antennas' symbols (antenna-across-hosts, BASELINE
     config 5) and process 0's output file matches the golden chain.  64-point
@@ -103,7 +106,7 @@ def test_two_process_distributed_demod_app(tmp_path, fft, frame_len):
     for pid in range(2):
         env = dict(env_base, MH_COORD=f"127.0.0.1:{port}", MH_NPROC="2",
                    MH_PID=str(pid), DAPP_UID=uid, DAPP_DIR=str(tmp_path),
-                   DAPP_FFT=str(fft), DAPP_S=str(frame_len))
+                   DAPP_FFT=str(fft), DAPP_S=str(frame_len), **extra)
         procs.append(subprocess.Popen(
             [sys.executable, os.path.join(REPO, "tests", "_dapp_worker.py")],
             env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
@@ -120,5 +123,6 @@ def test_two_process_distributed_demod_app(tmp_path, fft, frame_len):
     for pid, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"proc {pid} failed:\n{out}"
     assert "app-distributed rel err vs golden" in outs[0]
+    assert "merged index OK" in outs[0]
     assert "link quality (qpsk decision-directed EVM)" in outs[0]
     assert "link quality" not in outs[1]          # rank 0 owns the metric

@@ -79,6 +79,14 @@ def build_parser() -> argparse.ArgumentParser:
                          "for distinct frames")
     ap.add_argument("--sc16-native", action="store_true",
                     help="consumer keeps int16 end to end (fused kernel)")
+    ap.add_argument("--distributed", type=int, default=0, metavar="N",
+                    help="run the ANTENNA-ACROSS-HOSTS topology: the "
+                         "capture splits into N per-host antenna blocks, "
+                         "each with its own rx_app producer ring, and N "
+                         "demod_app --distributed consumers demodulate in "
+                         "lockstep over jax.distributed (rank 0 writes the "
+                         "output + merged provenance index scored below).  "
+                         "Requires --antennas divisible by N")
     ap.add_argument("--mesh", default=None, metavar="ANTxTIME",
                     help="consumer demodulates on a sharded mesh")
     ap.add_argument("--pipeline", default=None,
@@ -155,6 +163,10 @@ def main(argv=None) -> int:
         # reads feed the fused ts=1 kernel); it just needs an sc16 ring.
         print("--sc16-native requires --ring-dtype sc16", file=sys.stderr)
         return 2
+    if args.distributed and (per_symbol or args.mesh):
+        print("--distributed composes with the whole-frame consumer "
+              "(not --consumer per-symbol/--mesh)", file=sys.stderr)
+        return 2
     if per_symbol and args.mesh and args.mesh.lower().split("x")[-1] != "1":
         # demod_app gates this too; fail here before spawning processes.
         print("--consumer per-symbol shards over the ant axis only "
@@ -197,14 +209,6 @@ def main(argv=None) -> int:
         return 2
 
     ring = ["--ring-dtype", args.ring_dtype] if sc16 else []
-    rx = _spawn("ofdm_ls_mrc_tpu.apps.rx_app",
-                ["--file", cap, "--shm-uid", uid, "--num-frames", "0",
-                 "--rate", args.rate, "--thres", "0.05",
-                 "--timeout", args.timeout]
-                + (["--continuous-sync"] if args.continuous_sync else [])
-                + (["--wait-writes"] if per_symbol else [])
-                + (["--file-format", "sc16"] if sc16 else []) + ring + geom,
-                env, os.path.join(workdir, "rx"))
     dm_extra = []
     if args.sc16_native:
         dm_extra += ["--sc16-native"]
@@ -212,16 +216,74 @@ def main(argv=None) -> int:
         dm_extra += ["--mesh", args.mesh]
     if args.pipeline:
         dm_extra += ["--pipeline", args.pipeline]
-    # per-symbol: the reference's per-symbol runtime loop against a
-    # BACKPRESSURED producer (writeNextSymbolWithWait semantics) -- no
-    # overruns, no RingFeed, no provenance index.
-    dm_mode = (["--per-symbol"] if per_symbol else ["--catch-up"])
-    dm = _spawn("ofdm_ls_mrc_tpu.apps.demod_app",
-                ["--shm-uid", uid, "--output", out, "--num-frames", "0",
-                 "--no-timer", "--pilots", args.pilots,
-                 "--timeout", args.timeout] + dm_mode + ring + dm_extra
-                + geom,
-                env, os.path.join(workdir, "demod"))
+    if args.distributed:
+        # Antenna-across-hosts: split the capture's antenna rows into N
+        # per-host blocks, each with its own rx_app producer + ring; N
+        # demod_app --distributed consumers run lockstep over a local
+        # jax.distributed coordinator.  Rank 0 writes output + index.
+        import socket
+        nproc = args.distributed
+        if args.antennas % nproc:
+            print(f"--distributed {nproc}: {args.antennas} antennas not "
+                  f"divisible", file=sys.stderr)
+            return 2
+        a_local = args.antennas // nproc
+        # Capture layout is row-major per antenna for both formats (sc16
+        # int16 IQ interleaves WITHIN a row), so the split is a row slice.
+        dt = np.int16 if sc16 else np.complex64
+        rows = np.fromfile(cap, dtype=dt).reshape(args.antennas, -1)
+        host_caps = []
+        for i in range(nproc):
+            p = os.path.join(workdir, f"capture_h{i}.dat")
+            rows[i * a_local:(i + 1) * a_local].tofile(p)
+            host_caps.append(p)
+        with socket.socket() as s:
+            s.bind(("127.0.0.1", 0))
+            port = s.getsockname()[1]
+        geom_local = ["--antennas", str(a_local), "--fft-size",
+                      str(args.fft_size), "--cp-size", str(args.cp_size),
+                      "--frame-len", str(args.frame_len)]
+        rxs = [_spawn("ofdm_ls_mrc_tpu.apps.rx_app",
+                      ["--file", host_caps[i], "--shm-uid", f"{uid}_{i}",
+                       "--num-frames", "0", "--rate", args.rate,
+                       "--thres", "0.05", "--timeout", args.timeout]
+                      + (["--continuous-sync"] if args.continuous_sync
+                         else [])
+                      + (["--file-format", "sc16"] if sc16 else [])
+                      + ring + geom_local,
+                      env, os.path.join(workdir, f"rx{i}"))
+               for i in range(nproc)]
+        dms = [_spawn("ofdm_ls_mrc_tpu.apps.demod_app",
+                      ["--distributed", f"127.0.0.1:{port}",
+                       "--num-processes", str(nproc), "--process-id",
+                       str(i), "--shm-uid", f"{uid}_{i}", "--output", out,
+                       "--num-frames", "0", "--no-timer", "--catch-up",
+                       "--pilots", args.pilots, "--timeout", args.timeout]
+                      + ring + dm_extra + geom,
+                      env, os.path.join(workdir, f"demod{i}"))
+               for i in range(nproc)]
+    else:
+        rxs = [_spawn("ofdm_ls_mrc_tpu.apps.rx_app",
+                      ["--file", cap, "--shm-uid", uid, "--num-frames", "0",
+                       "--rate", args.rate, "--thres", "0.05",
+                       "--timeout", args.timeout]
+                      + (["--continuous-sync"] if args.continuous_sync
+                         else [])
+                      + (["--wait-writes"] if per_symbol else [])
+                      + (["--file-format", "sc16"] if sc16 else [])
+                      + ring + geom,
+                      env, os.path.join(workdir, "rx"))]
+        # per-symbol: the reference's per-symbol runtime loop against a
+        # BACKPRESSURED producer (writeNextSymbolWithWait semantics) -- no
+        # overruns, no RingFeed, no provenance index.
+        dm_mode = (["--per-symbol"] if per_symbol else ["--catch-up"])
+        dms = [_spawn("ofdm_ls_mrc_tpu.apps.demod_app",
+                      ["--shm-uid", uid, "--output", out, "--num-frames",
+                       "0", "--no-timer", "--pilots", args.pilots,
+                       "--timeout", args.timeout] + dm_mode + ring
+                      + dm_extra + geom,
+                      env, os.path.join(workdir, "demod"))]
+    rx, dm = rxs[0], dms[0]
 
     # --seconds measures STEADY-STATE pressure: start the countdown once the
     # consumer has demodulated its first frame (the provenance index flushes
@@ -229,7 +291,7 @@ def main(argv=None) -> int:
     # start can exceed a short soak window entirely.  Bounded by --timeout.
     warm_deadline = time.time() + float(args.timeout)
     while time.time() < warm_deadline:
-        if rx.poll() is not None or dm.poll() is not None:
+        if any(p.poll() is not None for p in rxs + dms):
             break
         first_out = out if per_symbol else out + ".index"
         if os.path.exists(first_out) and os.path.getsize(first_out):
@@ -237,13 +299,22 @@ def main(argv=None) -> int:
         time.sleep(0.2)
     deadline = time.time() + args.seconds
     while time.time() < deadline:
-        if rx.poll() is not None or dm.poll() is not None:
+        if any(p.poll() is not None for p in rxs + dms):
             break          # early death: report below instead of hanging
         time.sleep(0.5)
-    if rx.poll() is None:
-        rx.send_signal(signal.SIGINT)     # master drains + shutdown sentinel
+    for p in rxs:
+        if p.poll() is None:
+            p.send_signal(signal.SIGINT)  # master drains + shutdown sentinel
     rx_out, rx_err = _finish(rx, timeout=120)
+    for p in rxs[1:]:
+        ro, re_ = _finish(p, timeout=120)
+        rx_out, rx_err = rx_out + ro, rx_err + re_
+    # Distributed consumers end on the lockstep END sentinel once every
+    # ring shuts down; SIGINT only as the escalation fallback.
     dm_out, dm_err = _finish(dm, timeout=300, interrupt=True)
+    for p in dms[1:]:
+        do, de = _finish(p, timeout=300, interrupt=True)
+        dm_out, dm_err = dm_out + do, dm_err + de
 
     # 2. Score per delivered frame, keyed by the provenance index.  The
     #    5th column (writer-stream frame ordinal) selects WHICH sent grid a
@@ -297,7 +368,7 @@ def main(argv=None) -> int:
             overruns["producer_sync"] = ln.strip()
     ok = (len(evm_clean) >= args.min_frames
           and (max(evm_clean) if evm_clean else 0.0) <= args.evm_db
-          and rx.returncode == 0 and dm.returncode == 0)
+          and all(p.returncode == 0 for p in rxs + dms))
     rec = {
         "metric": "soak",
         "seconds": args.seconds,
@@ -305,7 +376,8 @@ def main(argv=None) -> int:
         "ring_dtype": args.ring_dtype,
         "rate": args.rate,
         "sync": "continuous" if args.continuous_sync else "one-shot",
-        "consumer": args.consumer,
+        "consumer": (f"distributed-{args.distributed}"
+                     if args.distributed else args.consumer),
         "sent_frames": nsent,
         "clean_frames": len(evm_clean),
         "dirty_frames": len(evm_dirty),
@@ -316,7 +388,8 @@ def main(argv=None) -> int:
         },
         "evm_dirty_max_db": max(evm_dirty) if evm_dirty else None,
         "threshold_db": args.evm_db,
-        "rx_rc": rx.returncode, "demod_rc": dm.returncode,
+        "rx_rc": max(p.returncode for p in rxs),
+        "demod_rc": max(p.returncode for p in dms),
         **overruns,
         "pass": ok,
     }
